@@ -1,0 +1,238 @@
+"""Host-side index build -> device-resident doc-major BM25 index.
+
+Design (TPU-first, not a port of bm25s): instead of a term-major CSR whose
+ragged postings force gathers/scatters, the device index is a *doc-major
+padded term table*:
+
+    term_ids : (n_docs, T) int32, each row the doc's unique term ids,
+               padded with -1
+    weights  : (n_docs, T) f32, the fully precomputed BM25 contribution of
+               that (doc, term) pair — idf(t) * tf_saturation(tf, dl)
+
+Scoring a query is then a dense, static-shape comparison-accumulate over
+(n_docs, T) — ideal VPU work with zero dynamic indexing — and the same pass
+counts |query_set ∩ doc_set| (the reference's "tf" prior feature,
+scorer.py:592-601). Block-max metadata for WAND/BMW pruning is a segment-max
+over doc blocks of the same table.
+
+BM25 variants match the reference's backend selection (scorer.py:213):
+  robertson: idf = ln((N - df + 0.5) / (df + 0.5)), floored at 0;
+             tf-part = (k1+1)*tf / (tf + K)
+  lucene:    idf = ln(1 + (N - df + 0.5) / (df + 0.5));
+             tf-part = tf / (tf + K)            (Lucene drops the k1+1 factor)
+  atire:     idf = ln(N / df); tf-part = (k1+1)*tf / (tf + K)
+  with K = k1 * (1 - b + b * dl / avgdl).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax.numpy as jnp
+
+VALID_METHODS = ("robertson", "lucene", "atire")
+
+# Padding sentinels. Doc-side and query-side pads differ so a padded query
+# slot never matches a padded doc slot.
+DOC_PAD = -1
+QUERY_PAD = -2
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class BM25Index:
+    """Device-resident BM25 index + host-side vocabulary.
+
+    Arrays live on the default device (HBM on TPU). ``vocab`` maps token ->
+    term id; term ids are dense [0, n_terms).
+    """
+
+    k1: float
+    b: float
+    method: str
+    vocab: dict = field(repr=False)
+    term_ids: jnp.ndarray = field(repr=False)   # (n_docs, T) int32
+    weights: jnp.ndarray = field(repr=False)    # (n_docs, T) f32
+    doc_lengths: jnp.ndarray = field(repr=False)  # (n_docs,) f32
+    doc_frequencies: np.ndarray = field(repr=False)  # (n_terms,) host
+    idf: np.ndarray = field(repr=False)         # (n_terms,) host
+    n_docs: int = 0
+    n_terms: int = 0
+    avgdl: float = 0.0
+    max_doc_terms: int = 0
+
+    @property
+    def num_docs(self) -> int:
+        return self.n_docs
+
+
+def compute_idf(df: np.ndarray, n_docs: int, method: str) -> np.ndarray:
+    """Per-term inverse document frequency for a BM25 variant."""
+    df = df.astype(np.float64)
+    if method == "robertson":
+        return np.maximum(np.log((n_docs - df + 0.5) / (df + 0.5)), 0.0)
+    if method == "lucene":
+        return np.log1p((n_docs - df + 0.5) / (df + 0.5))
+    if method == "atire":
+        return np.log(n_docs / df)
+    raise ValueError(f"method must be one of {VALID_METHODS}, got {method!r}")
+
+
+def tf_saturation(tf, doc_len, avgdl, k1: float, b: float, method: str):
+    """BM25 term-frequency saturation (see module docstring)."""
+    K = k1 * (1.0 - b + b * doc_len / max(avgdl, 1e-12))
+    sat = tf / (tf + K)
+    if method in ("robertson", "atire"):
+        return (k1 + 1.0) * sat
+    return sat
+
+
+def build_index(
+    corpus_tokens: list[list[str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    method: str = "robertson",
+    vocab: dict | None = None,
+    pad_multiple: int = 128,
+    doc_pad_multiple: int = 2048,  # = pallas_bm25.DOC_BLOCK
+) -> BM25Index:
+    """Tokenized corpus -> device index.
+
+    Host pass 1 builds the vocabulary and per-doc (term, count) pairs; the
+    per-(doc, term) BM25 contributions are then computed vectorized and
+    padded into the doc-major table. ``vocab`` can be supplied to share a
+    term-id space across indexes (multi-field search).
+    """
+    if method not in VALID_METHODS:
+        raise ValueError(f"method must be one of {VALID_METHODS}, got {method!r}")
+
+    n_docs = len(corpus_tokens)
+    if n_docs == 0:
+        raise ValueError("corpus must contain at least one document")
+
+    own_vocab = vocab is None
+    if own_vocab:
+        vocab = {}
+
+    doc_term_lists: list[np.ndarray] = []
+    doc_count_lists: list[np.ndarray] = []
+    doc_lengths = np.zeros(n_docs, dtype=np.float64)
+
+    for i, tokens in enumerate(corpus_tokens):
+        doc_lengths[i] = len(tokens)
+        counts: dict[int, int] = {}
+        for tok in tokens:
+            tid = vocab.get(tok)
+            if tid is None:
+                if own_vocab:
+                    tid = len(vocab)
+                    vocab[tok] = tid
+                else:
+                    tid = len(vocab)
+                    vocab[tok] = tid
+            counts[tid] = counts.get(tid, 0) + 1
+        if counts:
+            tids = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
+            cnts = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        else:
+            tids = np.empty(0, dtype=np.int64)
+            cnts = np.empty(0, dtype=np.int64)
+        doc_term_lists.append(tids)
+        doc_count_lists.append(cnts)
+
+    n_terms = len(vocab)
+    avgdl = float(np.mean(doc_lengths)) if n_docs else 0.0
+
+    # Document frequencies
+    df = np.zeros(n_terms, dtype=np.int64)
+    for tids in doc_term_lists:
+        df[tids] += 1
+    idf = compute_idf(np.maximum(df, 1), n_docs, method)
+
+    max_terms = max((len(t) for t in doc_term_lists), default=1)
+    T = max(_round_up(max(max_terms, 1), pad_multiple), pad_multiple)
+
+    # Pad the doc axis to the Pallas doc-block multiple; pad rows have no
+    # terms (never match) and doc_length = avgdl (harmless: their score is 0
+    # so downstream probability is 0 and they can't enter top-k above a real
+    # match).
+    D_pad = _round_up(n_docs, doc_pad_multiple)
+    term_ids = np.full((D_pad, T), DOC_PAD, dtype=np.int32)
+    weights = np.zeros((D_pad, T), dtype=np.float32)
+    for i, (tids, cnts) in enumerate(zip(doc_term_lists, doc_count_lists)):
+        m = len(tids)
+        if m == 0:
+            continue
+        term_ids[i, :m] = tids
+        weights[i, :m] = idf[tids] * tf_saturation(
+            cnts.astype(np.float64), doc_lengths[i], avgdl, k1, b, method
+        )
+
+    doc_lengths_pad = np.full(D_pad, max(avgdl, 1.0), dtype=np.float64)
+    doc_lengths_pad[:n_docs] = doc_lengths
+
+    return BM25Index(
+        k1=k1,
+        b=b,
+        method=method,
+        vocab=vocab,
+        term_ids=jnp.asarray(term_ids),
+        weights=jnp.asarray(weights),
+        doc_lengths=jnp.asarray(doc_lengths_pad, dtype=jnp.float32),
+        doc_frequencies=df,
+        idf=idf,
+        n_docs=n_docs,
+        n_terms=n_terms,
+        avgdl=avgdl,
+        max_doc_terms=T,
+    )
+
+
+def encode_queries(
+    query_tokens: list[list[str]],
+    vocab: dict,
+    max_query_terms: int | None = None,
+    pad_multiple: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenized queries -> (qids, qcounts) padded arrays.
+
+    Each row holds the query's *unique* in-vocabulary term ids plus their
+    multiplicities, padded with QUERY_PAD / 0. Scoring then sums
+    count * weight per matched term — identical to summing per query token —
+    while the same comparison counts unique-term overlap for the tf prior.
+    OOV terms are dropped (they contribute 0 score and cannot be in any
+    doc's token set). Queries with more unique terms than the padded width
+    keep the first ``max_query_terms`` in first-occurrence order.
+    """
+    rows: list[np.ndarray] = []
+    cnt_rows: list[np.ndarray] = []
+    widest = 1
+    for tokens in query_tokens:
+        counts: dict[int, int] = {}
+        for tok in tokens:
+            tid = vocab.get(tok)
+            if tid is not None:
+                counts[tid] = counts.get(tid, 0) + 1
+        tids = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
+        cnts = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        widest = max(widest, len(tids))
+        rows.append(tids)
+        cnt_rows.append(cnts)
+
+    Q = _round_up(max(widest, 1), pad_multiple)
+    if max_query_terms is not None:
+        Q = min(Q, _round_up(max_query_terms, pad_multiple))
+
+    nq = len(query_tokens)
+    qids = np.full((nq, Q), QUERY_PAD, dtype=np.int32)
+    qcnt = np.zeros((nq, Q), dtype=np.float32)
+    for i, (tids, cnts) in enumerate(zip(rows, cnt_rows)):
+        m = min(len(tids), Q)
+        qids[i, :m] = tids[:m]
+        qcnt[i, :m] = cnts[:m]
+    return qids, qcnt

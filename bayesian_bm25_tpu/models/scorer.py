@@ -1,0 +1,382 @@
+"""BayesianBM25Scorer: the owned-engine scorer returning calibrated
+probabilities.
+
+API parity with the reference scorer (bayesian_bm25/scorer.py:166-640),
+but the backend is this package's own TPU engine instead of ``bm25s``:
+``index()`` builds the device-resident doc-major table and auto-estimates
+(alpha, beta, base_rate) from one *batched* pseudo-query scoring call
+(the reference loops 50 full-corpus scans, scorer.py:287-311); ``retrieve``
+and ``get_probabilities`` run the fused scoring->transform kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+
+from bayesian_bm25_tpu.engine import index as eidx
+from bayesian_bm25_tpu.engine import scoring
+from bayesian_bm25_tpu.models.probability import BayesianProbabilityTransform
+
+_VALID_BASE_RATE_METHODS = ("percentile", "mixture", "elbow")
+
+
+@dataclass
+class RetrievalResult:
+    """Result of ``retrieve(explain=True)``: ids, probabilities, and
+    per-(query, rank) BM25SignalTrace explanations (None when a score is 0).
+    """
+
+    doc_ids: np.ndarray
+    probabilities: np.ndarray
+    explanations: list | None
+
+
+def _use_pallas() -> bool:
+    # The fused XLA scoring path currently outperforms the hand kernel on
+    # v5e (see engine/scoring.py:score_all); flip here when that changes.
+    return False
+
+
+class BayesianBM25Scorer:
+    """BM25 scorer that returns Bayesian-calibrated probabilities.
+
+    Parameters mirror the reference (scorer.py:198-222): BM25 (k1, b,
+    method in {robertson, lucene, atire}); alpha/beta auto-estimated from
+    pseudo-query score statistics when None; base_rate None | "auto" |
+    float, with "auto" dispatching to percentile / mixture / elbow
+    estimation.
+    """
+
+    def __init__(
+        self,
+        k1: float = 1.2,
+        b: float = 0.75,
+        method: str = "robertson",
+        alpha: float | None = None,
+        beta: float | None = None,
+        base_rate: float | str | None = None,
+        base_rate_method: str = "percentile",
+    ) -> None:
+        if base_rate_method not in _VALID_BASE_RATE_METHODS:
+            raise ValueError(
+                f"base_rate_method must be one of {_VALID_BASE_RATE_METHODS}, "
+                f"got {base_rate_method!r}"
+            )
+        if method not in eidx.VALID_METHODS:
+            raise ValueError(
+                f"method must be one of {eidx.VALID_METHODS}, got {method!r}"
+            )
+        self._k1 = k1
+        self._b = b
+        self._method = method
+        self._user_alpha = alpha
+        self._user_beta = beta
+        self._user_base_rate = base_rate
+        self._base_rate_method = base_rate_method
+        self._index: eidx.BM25Index | None = None
+        self._transform: BayesianProbabilityTransform | None = None
+        self._corpus_tokens: list[list[str]] | None = None
+
+    # -- properties ----------------------------------------------------------
+
+    @property
+    def num_docs(self) -> int:
+        if self._index is None:
+            raise RuntimeError("Call index() before accessing num_docs.")
+        return self._index.n_docs
+
+    @property
+    def doc_lengths(self) -> np.ndarray:
+        if self._index is None:
+            raise RuntimeError("Call index() before accessing doc_lengths.")
+        return np.asarray(self._index.doc_lengths)[: self._index.n_docs].astype(
+            np.float64
+        )
+
+    @property
+    def avgdl(self) -> float:
+        if self._index is None:
+            raise RuntimeError("Call index() before accessing avgdl.")
+        return self._index.avgdl
+
+    @property
+    def base_rate(self) -> float | None:
+        if self._transform is None:
+            return None
+        return self._transform.base_rate
+
+    @property
+    def transform(self) -> BayesianProbabilityTransform | None:
+        """The fitted probability transform (None before index())."""
+        return self._transform
+
+    @property
+    def bm25_index(self) -> eidx.BM25Index | None:
+        """The underlying device index (None before index())."""
+        return self._index
+
+    # -- indexing ------------------------------------------------------------
+
+    def index(self, corpus_tokens: list[list[str]], show_progress: bool = True
+              ) -> None:
+        """Build the device index and auto-calibrate the transform.
+
+        Pseudo-query sampling matches the reference protocol (seed 42,
+        <= 50 docs, first 5 tokens each, keep nonzero scores,
+        scorer.py:287-311) but scores all pseudo-queries in one batched
+        device call.
+        """
+        del show_progress  # device build has no incremental progress
+        self._corpus_tokens = corpus_tokens
+        self._index = eidx.build_index(
+            corpus_tokens, k1=self._k1, b=self._b, method=self._method
+        )
+
+        per_query_scores = self._sample_pseudo_query_scores(corpus_tokens)
+        alpha, beta = self._estimate_parameters(per_query_scores)
+
+        base_rate: float | None = None
+        if self._user_base_rate == "auto":
+            base_rate = self._estimate_base_rate(per_query_scores, len(corpus_tokens))
+        elif isinstance(self._user_base_rate, (int, float)):
+            base_rate = float(self._user_base_rate)
+
+        self._transform = BayesianProbabilityTransform(
+            alpha=alpha, beta=beta, base_rate=base_rate
+        )
+
+    def _sample_pseudo_query_scores(self, corpus_tokens) -> list[np.ndarray]:
+        """<=50 sampled docs as 5-token pseudo-queries -> per-query nonzero
+        score arrays, via one batched scoring call."""
+        n = len(corpus_tokens)
+        sample_size = min(n, 50)
+        rng = np.random.default_rng(42)
+        sample_indices = rng.choice(n, size=sample_size, replace=False)
+
+        queries = []
+        for idx in sample_indices:
+            toks = corpus_tokens[idx]
+            if toks:
+                queries.append(toks[:5])
+        if not queries:
+            return []
+
+        scores = self.get_scores_batch(queries)
+        out = []
+        for row in scores:
+            nz = row[row > 0]
+            if len(nz) > 0:
+                out.append(nz.astype(np.float64))
+        return out
+
+    def _estimate_parameters(self, per_query_scores) -> tuple[float, float]:
+        """beta = median(pooled nonzero scores); alpha = 1 / std
+        (scorer.py:313-337). User-supplied values override."""
+        if self._user_alpha is not None and self._user_beta is not None:
+            return self._user_alpha, self._user_beta
+        if not per_query_scores:
+            return (self._user_alpha or 1.0, self._user_beta or 0.0)
+        pooled = np.concatenate(per_query_scores)
+        est_beta = float(np.median(pooled))
+        std = float(np.std(pooled))
+        est_alpha = 1.0 / std if std > 0 else 1.0
+        return (
+            self._user_alpha if self._user_alpha is not None else est_alpha,
+            self._user_beta if self._user_beta is not None else est_beta,
+        )
+
+    # -- base rate estimation (host-side fit-time work) -----------------------
+
+    def _estimate_base_rate(self, per_query_scores, n_docs: int) -> float:
+        if not per_query_scores:
+            return 1e-6
+        method = self._base_rate_method
+        if method == "percentile":
+            return self._base_rate_percentile(per_query_scores, n_docs)
+        if method == "mixture":
+            return self._base_rate_mixture(per_query_scores)
+        return self._base_rate_elbow(per_query_scores)
+
+    @staticmethod
+    def _base_rate_percentile(per_query_scores, n_docs: int) -> float:
+        """Mean fraction of docs at/above each query's 95th percentile."""
+        ratios = []
+        for s in per_query_scores:
+            thr = float(np.percentile(s, 95))
+            ratios.append(float(np.sum(s >= thr)) / n_docs)
+        return float(np.clip(np.mean(ratios), 1e-6, 0.5))
+
+    @staticmethod
+    def _base_rate_mixture(per_query_scores) -> float:
+        """2-component Gaussian EM on pooled scores; the higher-mean
+        component's mixing weight is the base rate (scorer.py:380-433)."""
+        x = np.concatenate(per_query_scores)
+        if len(x) < 2:
+            return 1e-6
+        med = float(np.median(x))
+        lo = x <= med
+        hi = ~lo
+        mu0 = float(np.mean(x[lo])) if lo.any() else med - 1.0
+        mu1 = float(np.mean(x[hi])) if hi.any() else med + 1.0
+        var0 = max(float(np.var(x[lo])) if lo.any() else 1.0, 1e-8)
+        var1 = max(float(np.var(x[hi])) if hi.any() else 1.0, 1e-8)
+        pi1 = 0.5
+        for _ in range(20):
+            s0, s1 = np.sqrt(var0), np.sqrt(var1)
+            lp0 = -0.5 * ((x - mu0) / s0) ** 2 - np.log(s0)
+            lp1 = -0.5 * ((x - mu1) / s1) ** 2 - np.log(s1)
+            lw0 = np.log(max(1.0 - pi1, 1e-10)) + lp0
+            lw1 = np.log(max(pi1, 1e-10)) + lp1
+            gamma = np.exp(lw1 - np.logaddexp(lw0, lw1))
+            n1 = float(np.sum(gamma))
+            n0 = float(np.sum(1.0 - gamma))
+            if n0 < 1e-8 or n1 < 1e-8:
+                break
+            mu0 = float(np.sum((1 - gamma) * x) / n0)
+            mu1 = float(np.sum(gamma * x) / n1)
+            var0 = max(float(np.sum((1 - gamma) * (x - mu0) ** 2) / n0), 1e-8)
+            var1 = max(float(np.sum(gamma * (x - mu1) ** 2) / n1), 1e-8)
+            pi1 = n1 / len(x)
+        rate = pi1 if mu1 >= mu0 else 1.0 - pi1
+        return float(np.clip(rate, 1e-6, 0.5))
+
+    @staticmethod
+    def _base_rate_elbow(per_query_scores) -> float:
+        """Max-perpendicular-distance knee of the sorted score curve; the
+        fraction of scores above the knee (scorer.py:435-467)."""
+        x = np.sort(np.concatenate(per_query_scores))[::-1]
+        n = len(x)
+        if n < 3:
+            return 1e-6
+        dx = float(n - 1)
+        dy = float(x[-1] - x[0])
+        line_len = np.sqrt(dx * dx + dy * dy)
+        if line_len < 1e-12:
+            return 1e-6
+        t = np.arange(n, dtype=np.float64)
+        dist = np.abs(dy * t - dx * (x - x[0])) / line_len
+        knee = int(np.argmax(dist))
+        return float(np.clip(max(1, knee) / n, 1e-6, 0.5))
+
+    # -- querying --------------------------------------------------------------
+
+    def _encode(self, query_tokens_batch):
+        return eidx.encode_queries(query_tokens_batch, self._index.vocab)
+
+    def get_scores_batch(self, query_tokens_batch: list[list[str]]) -> np.ndarray:
+        """Raw BM25 scores for every document, batched: (nq, num_docs)."""
+        if self._index is None:
+            raise RuntimeError("Call index() before scoring.")
+        qids, qcnt = self._encode(query_tokens_batch)
+        scores, _ = scoring.score_all(
+            self._index.term_ids, self._index.weights, qids, qcnt,
+            use_pallas=_use_pallas(),
+        )
+        return np.asarray(scores)[:, : self._index.n_docs].astype(np.float64)
+
+    def get_scores(self, query_tokens: list[str]) -> np.ndarray:
+        """Raw BM25 scores for one query over all docs (bm25s.get_scores
+        parity)."""
+        return self.get_scores_batch([query_tokens])[0]
+
+    def retrieve(
+        self,
+        query_tokens: list[list[str]],
+        k: int = 10,
+        show_progress: bool = False,
+        explain: bool = False,
+    ):
+        """Top-k by BM25 score with calibrated probabilities.
+
+        Returns (doc_ids, probabilities) arrays of shape (nq, k), or a
+        RetrievalResult with per-document traces when ``explain=True``.
+        """
+        del show_progress
+        if self._transform is None:
+            raise RuntimeError("Call index() before retrieve().")
+        idx = self._index
+        k_eff = min(k, idx.n_docs)
+        qids, qcnt = self._encode(query_tokens)
+        t = self._transform
+        top_ids, probs, top_scores, top_tfs = scoring.retrieve_topk(
+            idx.term_ids, idx.weights, idx.doc_lengths, idx.avgdl,
+            qids, qcnt, k_eff, t.alpha, t.beta, t.base_rate,
+            n_docs=idx.n_docs,
+            prior_free=t._training_mode == "prior_free",
+            use_pallas=_use_pallas(),
+        )
+        doc_ids = np.asarray(top_ids)
+        probabilities = np.asarray(probs).astype(np.float64)
+
+        if not explain:
+            return doc_ids, probabilities
+
+        from bayesian_bm25_tpu.utils.debug import FusionDebugger
+
+        debugger = FusionDebugger(t)
+        scores_np = np.asarray(top_scores)
+        tfs_np = np.asarray(top_tfs)
+        dl = np.asarray(idx.doc_lengths)
+        explanations = []
+        for qi in range(doc_ids.shape[0]):
+            row = []
+            for r in range(doc_ids.shape[1]):
+                s = float(scores_np[qi, r])
+                if s > 0:
+                    did = int(doc_ids[qi, r])
+                    row.append(
+                        debugger.trace_bm25(
+                            s, float(tfs_np[qi, r]), float(dl[did] / idx.avgdl)
+                        )
+                    )
+                else:
+                    row.append(None)
+            explanations.append(row)
+        return RetrievalResult(doc_ids, probabilities, explanations)
+
+    def get_probabilities(self, query_tokens: list[str]) -> np.ndarray:
+        """Calibrated probability for every document (dense, one query)."""
+        return self.get_probabilities_batch([query_tokens])[0]
+
+    def get_probabilities_batch(
+        self, query_tokens_batch: list[list[str]]
+    ) -> np.ndarray:
+        """Dense calibrated probabilities, batched: (nq, num_docs).
+
+        TPU-native extension: the reference only offers the single-query
+        form (scorer.py:564-590); batching keeps the chip busy.
+        """
+        if self._transform is None:
+            raise RuntimeError("Call index() before get_probabilities().")
+        idx = self._index
+        qids, qcnt = self._encode(query_tokens_batch)
+        t = self._transform
+        probs, _, _ = scoring.probabilities_all(
+            idx.term_ids, idx.weights, idx.doc_lengths, idx.avgdl,
+            qids, qcnt, t.alpha, t.beta, t.base_rate,
+            n_docs=idx.n_docs,
+            prior_free=t._training_mode == "prior_free",
+            use_pallas=_use_pallas(),
+        )
+        return np.asarray(probs).astype(np.float64)
+
+    def add_documents(self, new_corpus_tokens, show_progress: bool = True) -> None:
+        """Append documents and rebuild (IDF changes require re-index;
+        parity with scorer.py:469-492)."""
+        if self._corpus_tokens is None:
+            raise RuntimeError("Call index() before add_documents().")
+        self.index(self._corpus_tokens + new_corpus_tokens,
+                   show_progress=show_progress)
+
+    def _compute_tf_batch(self, doc_ids, query_tokens: list[str]) -> np.ndarray:
+        """Unique-overlap counts |query_set ∩ doc_set| for given docs
+        (host-side parity helper; the device path computes this in-kernel)."""
+        qset = set(query_tokens)
+        return np.array(
+            [len(qset & set(self._corpus_tokens[int(d)])) for d in doc_ids],
+            dtype=np.float64,
+        )

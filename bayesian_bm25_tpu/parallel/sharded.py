@@ -1,0 +1,159 @@
+"""Document-sharded scoring, distributed top-k, and sharded training.
+
+Design (SURVEY §7.8): mesh over the document axis ('d'); the term table
+(D, T) is sharded PartitionSpec('d', None); query batches are replicated.
+Scoring is embarrassingly parallel over docs. Retrieval does a per-shard
+lax.top_k (k candidates per shard), converts local row ids to global doc
+ids with the shard offset, then all_gathers the (n_shards * k) candidate
+set and reduces to the global top-k — k*n_shards values cross ICI instead
+of the full (nq, D) score matrix. Corpus statistics (N, sum doclen, df)
+and fit() gradients aggregate with psum.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bayesian_bm25_tpu.engine.scoring import _score_one_query
+from bayesian_bm25_tpu.ops import transform as T
+from bayesian_bm25_tpu.ops.mathx import clamp_probability, sigmoid
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
+    """1-D device mesh over the document axis."""
+    import numpy as np
+
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_index_arrays(mesh: Mesh, term_ids, weights, doc_lengths):
+    """Place index arrays with the doc axis sharded over the mesh."""
+    doc_sharded = NamedSharding(mesh, P("d", None))
+    vec_sharded = NamedSharding(mesh, P("d"))
+    return (
+        jax.device_put(term_ids, doc_sharded),
+        jax.device_put(weights, doc_sharded),
+        jax.device_put(doc_lengths, vec_sharded),
+    )
+
+
+def _local_score(term_ids, weights, qids, qcnt):
+    """Per-shard scoring: same kernel as single-chip, on the local slab."""
+    def one(q_row, c_row):
+        return _score_one_query(term_ids, weights, q_row, c_row)
+
+    return jax.vmap(one)(qids, qcnt)
+
+
+def sharded_retrieve_topk(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,
+                          qids, qcnt, k: int, alpha, beta, base_rate=None):
+    """Distributed top-k retrieval with calibrated probabilities.
+
+    shard_map body: local scoring -> local top-k (global ids via shard
+    offset) -> all_gather candidates -> global top-k. Probabilities are
+    computed on the merged winners only.
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("d", None), P("d", None), P("d"), P(None, None), P(None, None)),
+        out_specs=(P(None, None), P(None, None), P(None, None)),
+        # Outputs are replicated by construction (derived from all_gather +
+        # replicated params) but the static vma check can't infer that.
+        check_vma=False,
+    )
+    def body(tids, w, dl, qi, qc):
+        scores, tfs = _local_score(tids, w, qi, qc)
+        local_k = min(k, tids.shape[0])
+        top_s, top_local = jax.lax.top_k(scores, local_k)
+        shard = jax.lax.axis_index("d")
+        offset = shard * tids.shape[0]
+        top_global = top_local + offset
+        top_tf = jnp.take_along_axis(tfs, top_local, axis=1)
+        top_dl = dl[top_local]
+        # Gather candidates from every shard: (n_shards * local_k) per query
+        cand_s = jax.lax.all_gather(top_s, "d", axis=1, tiled=True)
+        cand_id = jax.lax.all_gather(top_global, "d", axis=1, tiled=True)
+        cand_tf = jax.lax.all_gather(top_tf, "d", axis=1, tiled=True)
+        cand_dl = jax.lax.all_gather(top_dl, "d", axis=1, tiled=True)
+        merge_s, merge_pos = jax.lax.top_k(cand_s, k)
+        ids = jnp.take_along_axis(cand_id, merge_pos, axis=1)
+        tfs_m = jnp.take_along_axis(cand_tf, merge_pos, axis=1)
+        dl_m = jnp.take_along_axis(cand_dl, merge_pos, axis=1)
+        probs = T.score_to_probability(
+            merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate
+        )
+        probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
+        return ids, probs, merge_s
+
+    return body(term_ids, weights, doc_lengths, qids, qcnt)
+
+
+def corpus_stats_psum(mesh: Mesh, doc_lengths, term_ids, n_terms: int):
+    """Global corpus statistics from sharded slabs: (N, avgdl, df).
+
+    df is a per-shard bincount over term ids followed by a psum — the
+    sharded equivalent of the reference's host-side counting.
+    """
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("d"), P("d", None)),
+        out_specs=(P(), P(), P()),
+    )
+    def body(dl, tids):
+        n_local = jnp.asarray(dl.shape[0], jnp.float32)
+        n = jax.lax.psum(n_local, "d")
+        sum_dl = jax.lax.psum(jnp.sum(dl), "d")
+        valid = (tids >= 0).astype(jnp.int32)
+        local_df = jnp.zeros(n_terms, jnp.int32).at[
+            jnp.clip(tids, 0, n_terms - 1)
+        ].add(valid)
+        df = jax.lax.psum(local_df, "d")
+        return n, sum_dl / n, df
+
+    return body(doc_lengths, term_ids)
+
+
+def sharded_train_step(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,
+                       qids, qcnt, labels, alpha, beta,
+                       learning_rate: float = 0.01):
+    """One full training step over the sharded corpus.
+
+    Scores the query batch against the local doc shard, evaluates the BCE
+    loss of the transform's likelihood against (replicated) per-(query, doc)
+    labels, psums the gradient contributions across shards, and applies one
+    GD step to (alpha, beta) — the multi-chip analogue of
+    BayesianProbabilityTransform.fit's inner iteration.
+    """
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("d", None), P("d", None), P("d"),
+                  P(None, None), P(None, None), P(None, "d")),
+        out_specs=(P(), P(), P()),
+    )
+    def body(tids, w, dl, qi, qc, y):
+        scores, _ = _local_score(tids, w, qi, qc)
+
+        def loss_fn(params):
+            a, b = params
+            L = clamp_probability(sigmoid(a * (scores - b)))
+            bce = -(y * jnp.log(L) + (1.0 - y) * jnp.log1p(-L))
+            total = jax.lax.psum(jnp.sum(bce), "d")
+            count = jax.lax.psum(jnp.asarray(bce.size, bce.dtype), "d")
+            return total / count
+
+        loss, grads = jax.value_and_grad(loss_fn)((alpha, beta))
+        g_a, g_b = grads
+        return alpha - learning_rate * g_a, beta - learning_rate * g_b, loss
+
+    return body(term_ids, weights, doc_lengths, qids, qcnt, labels)

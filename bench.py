@@ -1,0 +1,148 @@
+"""Headline benchmark: batched-query retrieval throughput per TPU chip.
+
+Measures end-to-end retrieve(top-10 with calibrated probabilities) on a
+synthetic Zipf corpus (50k docs / 30k vocab — the scalability.py regime of
+the reference) and compares against a faithful CPU reference baseline:
+scipy-CSR BM25 scoring + numpy transform, i.e. the same architecture as the
+reference's bm25s backend (sparse matrix scoring on the host,
+scorer.py:20-26).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def make_corpus(rng, n_docs=50_000, doc_len=150, vocab=30_000):
+    zipf = rng.zipf(1.3, size=(n_docs, doc_len)) % vocab
+    return [[f"t{t}" for t in row] for row in zipf]
+
+
+def make_queries(rng, n=512, qlen=8, vocab=30_000):
+    return [[f"t{t}" for t in rng.zipf(1.3, size=qlen) % vocab] for _ in range(n)]
+
+
+def bench_tpu(corpus, queries, k=10, reps=5):
+    import jax
+    import jax.numpy as jnp
+
+    from bayesian_bm25_tpu import BayesianBM25Scorer
+
+    scorer = BayesianBM25Scorer(base_rate=0.01)
+    scorer.index(corpus, show_progress=False)
+
+    def run():
+        ids, probs = scorer.retrieve(queries, k=k)
+        return ids, probs
+
+    run()  # compile + warm
+    t0 = time.time()
+    for _ in range(reps):
+        ids, probs = run()
+    dt = (time.time() - t0) / reps
+    assert np.all((probs >= 0) & (probs < 1))
+    return len(queries) / dt
+
+
+def bench_cpu_reference(corpus, queries, k=10, reps=2):
+    """CPU stand-in for the reference stack: scipy CSR impact matrix scoring
+    (bm25s architecture) + float64 numpy Bayesian transform."""
+    import scipy.sparse as sp
+
+    # Build CSR impact matrix (docs x vocab) with Robertson weights
+    vocab: dict[str, int] = {}
+    rows, cols, vals = [], [], []
+    dl = np.array([len(d) for d in corpus], dtype=np.float64)
+    avgdl = dl.mean()
+    from collections import Counter
+
+    doc_counts = []
+    for d in corpus:
+        c = Counter(d)
+        doc_counts.append(c)
+        for tok in c:
+            if tok not in vocab:
+                vocab[tok] = len(vocab)
+    V = len(vocab)
+    df = np.zeros(V)
+    for c in doc_counts:
+        for tok in c:
+            df[vocab[tok]] += 1
+    n = len(corpus)
+    idf = np.maximum(np.log((n - df + 0.5) / (df + 0.5)), 0.0)
+    k1, b = 1.2, 0.75
+    for i, c in enumerate(doc_counts):
+        K = k1 * (1 - b + b * dl[i] / avgdl)
+        for tok, tf in c.items():
+            j = vocab[tok]
+            rows.append(i)
+            cols.append(j)
+            vals.append(idf[j] * (k1 + 1) * tf / (tf + K))
+    W = sp.csr_matrix((vals, (rows, cols)), shape=(n, V))
+
+    # Token sets for the tf feature (reference scorer.py:261)
+    doc_sets = [set(d) for d in corpus]
+
+    def sigmoid(x):
+        return np.where(x >= 0, 1 / (1 + np.exp(-np.clip(x, 0, None))),
+                        np.exp(np.clip(x, None, 0)) / (1 + np.exp(np.clip(x, None, 0))))
+
+    alpha, beta, base_rate = 1.0, 2.0, 0.01
+
+    def run():
+        out_ids = np.empty((len(queries), k), dtype=np.int64)
+        out_probs = np.empty((len(queries), k))
+        for qi, q in enumerate(queries):
+            qv = np.zeros(V)
+            for tok in q:
+                j = vocab.get(tok)
+                if j is not None:
+                    qv[j] += 1.0
+            scores = W @ qv
+            top = np.argpartition(-scores, k - 1)[:k]
+            top = top[np.argsort(-scores[top])]
+            s = scores[top]
+            qset = set(q)
+            tf = np.array([len(qset & doc_sets[d]) for d in top], dtype=float)
+            r = dl[top] / avgdl
+            L = sigmoid(alpha * (s - beta))
+            p_tf = 0.2 + 0.7 * np.minimum(1, tf / 10)
+            p_n = 0.3 + 0.6 * (1 - np.minimum(1, np.abs(r - 0.5) * 2))
+            prior = np.clip(0.7 * p_tf + 0.3 * p_n, 0.1, 0.9)
+            num = L * prior
+            p1 = num / (num + (1 - L) * (1 - prior))
+            num2 = p1 * base_rate
+            p2 = num2 / (num2 + (1 - p1) * (1 - base_rate))
+            out_ids[qi] = top
+            out_probs[qi] = np.where(s > 0, p2, 0.0)
+        return out_ids, out_probs
+
+    run()
+    t0 = time.time()
+    for _ in range(reps):
+        run()
+    dt = (time.time() - t0) / reps
+    return len(queries) / dt
+
+
+def main():
+    rng = np.random.default_rng(0)
+    corpus = make_corpus(rng)
+    queries = make_queries(rng)
+
+    tpu_qps = bench_tpu(corpus, queries)
+    cpu_qps = bench_cpu_reference(corpus, queries[:128])
+
+    print(json.dumps({
+        "metric": "retrieval_throughput_50k_docs_top10_calibrated",
+        "value": round(tpu_qps, 1),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(tpu_qps / cpu_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

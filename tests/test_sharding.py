@@ -1,0 +1,125 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh.
+
+Validates that document-sharded retrieval and training match the
+single-device path exactly — the distributed layer must be a pure
+performance transform (SURVEY §7.8).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from bayesian_bm25_tpu.engine import index as eidx, scoring
+from bayesian_bm25_tpu.parallel import sharded
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(3)
+    V, D, L = 500, 64, 30
+    corpus = [[f"t{t}" for t in rng.integers(0, V, L)] for _ in range(D)]
+    # doc_pad_multiple=8 so the table splits evenly over 8 devices
+    idx = eidx.build_index(corpus, doc_pad_multiple=8, pad_multiple=8)
+    queries = [[f"t{t}" for t in rng.integers(0, V, 5)] for _ in range(6)]
+    qids, qcnt = eidx.encode_queries(queries, idx.vocab)
+    return idx, qids, qcnt
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+class TestShardedRetrieve:
+    def test_matches_single_device(self, setup):
+        idx, qids, qcnt = setup
+        mesh = sharded.make_mesh()
+        tids, w, dl = sharded.shard_index_arrays(
+            mesh, idx.term_ids, idx.weights, idx.doc_lengths
+        )
+        k = 5
+        ids_s, probs_s, scores_s = sharded.sharded_retrieve_topk(
+            mesh, tids, w, dl, idx.avgdl, qids, qcnt, k, 1.0, 2.0, 0.05
+        )
+        ids_1, probs_1, scores_1, _ = scoring.retrieve_topk(
+            idx.term_ids, idx.weights, idx.doc_lengths, idx.avgdl,
+            qids, qcnt, k, 1.0, 2.0, 0.05,
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores_s), np.asarray(scores_1), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(probs_s), np.asarray(probs_1), rtol=1e-6
+        )
+        # ids may differ on exact ties; require same score multiset
+        np.testing.assert_allclose(
+            np.sort(np.asarray(scores_s), axis=1),
+            np.sort(np.asarray(scores_1), axis=1), rtol=1e-6,
+        )
+
+    def test_two_device_mesh(self, setup):
+        idx, qids, qcnt = setup
+        mesh = sharded.make_mesh(2)
+        tids, w, dl = sharded.shard_index_arrays(
+            mesh, idx.term_ids, idx.weights, idx.doc_lengths
+        )
+        ids_s, probs_s, _ = sharded.sharded_retrieve_topk(
+            mesh, tids, w, dl, idx.avgdl, qids, qcnt, 3, 1.0, 2.0
+        )
+        assert np.asarray(ids_s).shape == (qids.shape[0], 3)
+
+
+class TestCorpusStats:
+    def test_psum_stats_match_host(self, setup):
+        idx, _, _ = setup
+        mesh = sharded.make_mesh()
+        tids, w, dl = sharded.shard_index_arrays(
+            mesh, idx.term_ids, idx.weights, idx.doc_lengths
+        )
+        n, avgdl, df = sharded.corpus_stats_psum(mesh, dl, tids, idx.n_terms)
+        # Stats include pad rows (length avgdl, no terms) — compare on the
+        # padded table, which is what the device sees.
+        D_pad = idx.term_ids.shape[0]
+        assert float(n) == D_pad
+        expected_avgdl = float(np.mean(np.asarray(idx.doc_lengths)))
+        assert float(avgdl) == pytest.approx(expected_avgdl, rel=1e-6)
+        np.testing.assert_array_equal(np.asarray(df), idx.doc_frequencies)
+
+
+class TestShardedTraining:
+    def test_step_decreases_loss_and_matches_grads(self, setup):
+        idx, qids, qcnt = setup
+        rng = np.random.default_rng(0)
+        mesh = sharded.make_mesh()
+        tids, w, dl = sharded.shard_index_arrays(
+            mesh, idx.term_ids, idx.weights, idx.doc_lengths
+        )
+        D_pad = idx.term_ids.shape[0]
+        labels = (rng.uniform(size=(qids.shape[0], D_pad)) < 0.1).astype(np.float32)
+
+        a1, b1, loss1 = sharded.sharded_train_step(
+            mesh, tids, w, dl, idx.avgdl, qids, qcnt, labels, 1.0, 2.0,
+            learning_rate=0.1,
+        )
+        a2, b2, loss2 = sharded.sharded_train_step(
+            mesh, tids, w, dl, idx.avgdl, qids, qcnt, labels,
+            float(a1), float(b1), learning_rate=0.1,
+        )
+        assert float(loss2) <= float(loss1) + 1e-9
+
+        # Gradient parity vs single-device autodiff
+        scores, _ = scoring.score_all_xla(idx.term_ids, idx.weights, qids, qcnt)
+        import jax.numpy as jnp
+        from bayesian_bm25_tpu.ops.mathx import clamp_probability, sigmoid
+
+        def loss_fn(params):
+            a, b = params
+            L = clamp_probability(sigmoid(a * (jnp.asarray(scores) - b)))
+            y = jnp.asarray(labels)
+            return -jnp.mean(y * jnp.log(L) + (1 - y) * jnp.log1p(-L))
+
+        g = jax.grad(loss_fn)((1.0, 2.0))
+        expected_a1 = 1.0 - 0.1 * float(g[0])
+        expected_b1 = 2.0 - 0.1 * float(g[1])
+        assert float(a1) == pytest.approx(expected_a1, rel=1e-5)
+        assert float(b1) == pytest.approx(expected_b1, rel=1e-5)
