@@ -1,0 +1,182 @@
+"""Parameter serialization: save/load of fitted models to .npz archives.
+
+The reference relies on pickle round-trips (SURVEY §5.4); this module adds
+explicit, version-tagged archives for the transform, fusion learners, and
+calibrators so fitted state can move between hosts/processes without
+unpickling arbitrary code. Pickle still works on every model (state is
+numpy/floats by construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bayesian_bm25_tpu.models.calibration import IsotonicCalibrator, PlattCalibrator
+from bayesian_bm25_tpu.models.fusion_weights import (
+    AttentionLogOddsWeights,
+    LearnableLogOddsWeights,
+    MultiHeadAttentionLogOddsWeights,
+)
+from bayesian_bm25_tpu.models.probability import (
+    BayesianProbabilityTransform,
+    TemporalBayesianTransform,
+)
+
+_FORMAT_VERSION = 1
+
+
+def _meta(kind: str) -> np.ndarray:
+    return np.array([kind, str(_FORMAT_VERSION)])
+
+
+def save_model(path: str, model) -> None:
+    """Serialize a fitted model to an .npz archive (type-tagged)."""
+    if isinstance(model, TemporalBayesianTransform):
+        np.savez(
+            path, _meta=_meta("temporal_transform"),
+            alpha=model.alpha, beta=model.beta,
+            base_rate=np.nan if model.base_rate is None else model.base_rate,
+            mode=np.array([model._training_mode]),
+            n_updates=model._n_updates,
+            grad_alpha_ema=model._grad_alpha_ema,
+            grad_beta_ema=model._grad_beta_ema,
+            alpha_avg=model._alpha_avg, beta_avg=model._beta_avg,
+            decay_half_life=model._decay_half_life,
+            timestamp=model._timestamp,
+        )
+    elif isinstance(model, BayesianProbabilityTransform):
+        np.savez(
+            path, _meta=_meta("transform"),
+            alpha=model.alpha, beta=model.beta,
+            base_rate=np.nan if model.base_rate is None else model.base_rate,
+            mode=np.array([model._training_mode]),
+            n_updates=model._n_updates,
+            grad_alpha_ema=model._grad_alpha_ema,
+            grad_beta_ema=model._grad_beta_ema,
+            alpha_avg=model._alpha_avg, beta_avg=model._beta_avg,
+        )
+    elif isinstance(model, LearnableLogOddsWeights):
+        np.savez(
+            path, _meta=_meta("learnable_weights"),
+            logits=model._logits, alpha=model._alpha,
+            base_rate=np.nan if model._base_rate is None else model._base_rate,
+            n_updates=model._n_updates,
+            grad_logits_ema=model._grad_logits_ema,
+            weights_avg=model._weights_avg,
+        )
+    elif isinstance(model, MultiHeadAttentionLogOddsWeights):
+        heads = model.heads
+        np.savez(
+            path, _meta=_meta("multihead_attention"),
+            n_heads=model.n_heads,
+            n_signals=heads[0].n_signals,
+            n_query_features=heads[0].n_query_features,
+            alpha=heads[0].alpha,
+            normalize=heads[0].normalize,
+            W=np.stack([h._W for h in heads]),
+            b=np.stack([h._b for h in heads]),
+            W_avg=np.stack([h._W_avg for h in heads]),
+            b_avg=np.stack([h._b_avg for h in heads]),
+        )
+    elif isinstance(model, AttentionLogOddsWeights):
+        np.savez(
+            path, _meta=_meta("attention_weights"),
+            W=model._W, b=model._b, alpha=model._alpha,
+            normalize=model._normalize,
+            base_rate=np.nan if model._base_rate is None else model._base_rate,
+            n_updates=model._n_updates,
+            grad_W_ema=model._grad_W_ema, grad_b_ema=model._grad_b_ema,
+            W_avg=model._W_avg, b_avg=model._b_avg,
+        )
+    elif isinstance(model, PlattCalibrator):
+        np.savez(path, _meta=_meta("platt"), a=model.a, b=model.b)
+    elif isinstance(model, IsotonicCalibrator):
+        if model._x is None:
+            raise ValueError("IsotonicCalibrator must be fitted before saving")
+        np.savez(path, _meta=_meta("isotonic"), x=model._x, y=model._y)
+    else:
+        raise TypeError(f"Unsupported model type: {type(model).__name__}")
+
+
+def load_model(path: str):
+    """Reconstruct a model saved by ``save_model``."""
+    data = np.load(path, allow_pickle=False)
+    kind = str(data["_meta"][0])
+
+    def _opt(v):
+        v = float(v)
+        return None if np.isnan(v) else v
+
+    if kind in ("transform", "temporal_transform"):
+        base_rate = _opt(data["base_rate"])
+        if kind == "temporal_transform":
+            model = TemporalBayesianTransform(
+                alpha=float(data["alpha"]), beta=float(data["beta"]),
+                base_rate=base_rate,
+                decay_half_life=float(data["decay_half_life"]),
+            )
+            model._timestamp = int(data["timestamp"])
+        else:
+            model = BayesianProbabilityTransform(
+                alpha=float(data["alpha"]), beta=float(data["beta"]),
+                base_rate=base_rate,
+            )
+        model._training_mode = str(data["mode"][0])
+        model._n_updates = int(data["n_updates"])
+        model._grad_alpha_ema = float(data["grad_alpha_ema"])
+        model._grad_beta_ema = float(data["grad_beta_ema"])
+        model._alpha_avg = float(data["alpha_avg"])
+        model._beta_avg = float(data["beta_avg"])
+        return model
+
+    if kind == "learnable_weights":
+        logits = np.asarray(data["logits"])
+        model = LearnableLogOddsWeights(
+            n_signals=len(logits), alpha=float(data["alpha"]),
+            base_rate=_opt(data["base_rate"]),
+        )
+        model._logits = logits
+        model._n_updates = int(data["n_updates"])
+        model._grad_logits_ema = np.asarray(data["grad_logits_ema"])
+        model._weights_avg = np.asarray(data["weights_avg"])
+        return model
+
+    if kind == "attention_weights":
+        W = np.asarray(data["W"])
+        model = AttentionLogOddsWeights(
+            n_signals=W.shape[0], n_query_features=W.shape[1],
+            alpha=float(data["alpha"]), normalize=bool(data["normalize"]),
+            base_rate=_opt(data["base_rate"]),
+        )
+        model._W = W
+        model._b = np.asarray(data["b"])
+        model._n_updates = int(data["n_updates"])
+        model._grad_W_ema = np.asarray(data["grad_W_ema"])
+        model._grad_b_ema = np.asarray(data["grad_b_ema"])
+        model._W_avg = np.asarray(data["W_avg"])
+        model._b_avg = np.asarray(data["b_avg"])
+        return model
+
+    if kind == "multihead_attention":
+        model = MultiHeadAttentionLogOddsWeights(
+            n_heads=int(data["n_heads"]), n_signals=int(data["n_signals"]),
+            n_query_features=int(data["n_query_features"]),
+            alpha=float(data["alpha"]), normalize=bool(data["normalize"]),
+        )
+        for i, head in enumerate(model.heads):
+            head._W = np.asarray(data["W"][i])
+            head._b = np.asarray(data["b"][i])
+            head._W_avg = np.asarray(data["W_avg"][i])
+            head._b_avg = np.asarray(data["b_avg"][i])
+        return model
+
+    if kind == "platt":
+        return PlattCalibrator(a=float(data["a"]), b=float(data["b"]))
+
+    if kind == "isotonic":
+        model = IsotonicCalibrator()
+        model._x = np.asarray(data["x"])
+        model._y = np.asarray(data["y"])
+        return model
+
+    raise ValueError(f"Unknown model kind: {kind!r}")

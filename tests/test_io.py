@@ -1,0 +1,112 @@
+"""save_model / load_model round-trip tests."""
+
+import numpy as np
+import pytest
+
+from bayesian_bm25_tpu import (
+    AttentionLogOddsWeights,
+    BayesianProbabilityTransform,
+    IsotonicCalibrator,
+    LearnableLogOddsWeights,
+    MultiHeadAttentionLogOddsWeights,
+    PlattCalibrator,
+    TemporalBayesianTransform,
+)
+from bayesian_bm25_tpu.utils.io import load_model, save_model
+
+
+def _path(tmp_path, name):
+    return str(tmp_path / f"{name}.npz")
+
+
+class TestRoundTrips:
+    def test_transform(self, tmp_path):
+        t = BayesianProbabilityTransform(alpha=1.3, beta=2.1, base_rate=0.02)
+        t.update(3.0, 1.0)
+        save_model(_path(tmp_path, "t"), t)
+        t2 = load_model(_path(tmp_path, "t"))
+        assert type(t2) is BayesianProbabilityTransform
+        assert t2.alpha == t.alpha and t2.beta == t.beta
+        assert t2.base_rate == t.base_rate
+        assert t2._n_updates == t._n_updates
+        s = np.array([1.0, 4.0])
+        np.testing.assert_allclose(
+            t2.score_to_probability(s, np.ones(2), np.ones(2)),
+            t.score_to_probability(s, np.ones(2), np.ones(2)),
+        )
+        # online state survives: identical next update
+        t.update(2.0, 0.0)
+        t2.update(2.0, 0.0)
+        assert t2.alpha == pytest.approx(t.alpha, rel=1e-12)
+
+    def test_transform_none_base_rate(self, tmp_path):
+        t = BayesianProbabilityTransform()
+        save_model(_path(tmp_path, "t"), t)
+        assert load_model(_path(tmp_path, "t")).base_rate is None
+
+    def test_temporal(self, tmp_path):
+        t = TemporalBayesianTransform(decay_half_life=50.0)
+        t.update(1.0, 1.0)
+        save_model(_path(tmp_path, "t"), t)
+        t2 = load_model(_path(tmp_path, "t"))
+        assert type(t2) is TemporalBayesianTransform
+        assert t2.decay_half_life == 50.0
+        assert t2.timestamp == 1
+
+    def test_learnable(self, tmp_path):
+        lw = LearnableLogOddsWeights(3, alpha=0.5, base_rate=0.1)
+        lw.update(np.array([0.8, 0.2, 0.5]), 1.0)
+        save_model(_path(tmp_path, "lw"), lw)
+        lw2 = load_model(_path(tmp_path, "lw"))
+        p = np.array([0.6, 0.7, 0.4])
+        assert lw2(p) == pytest.approx(lw(p), rel=1e-12)
+        np.testing.assert_array_equal(lw2.averaged_weights, lw.averaged_weights)
+
+    def test_attention(self, tmp_path):
+        a = AttentionLogOddsWeights(2, 3, seed=5, normalize=True)
+        rng = np.random.default_rng(0)
+        a.update(rng.uniform(0.1, 0.9, (4, 2)), np.ones(4),
+                 rng.normal(0, 1, (4, 3)))
+        save_model(_path(tmp_path, "a"), a)
+        a2 = load_model(_path(tmp_path, "a"))
+        probs = rng.uniform(0.1, 0.9, (5, 2))
+        qf = rng.normal(0, 1, (5, 3))
+        np.testing.assert_allclose(a2(probs, qf), a(probs, qf), rtol=1e-12)
+        np.testing.assert_allclose(
+            a2(probs, qf, use_averaged=True), a(probs, qf, use_averaged=True),
+            rtol=1e-12,
+        )
+
+    def test_multihead(self, tmp_path):
+        mh = MultiHeadAttentionLogOddsWeights(3, 2, 3)
+        rng = np.random.default_rng(1)
+        mh.fit(rng.uniform(0.1, 0.9, (20, 2)),
+               rng.integers(0, 2, 20).astype(float),
+               rng.normal(0, 1, (20, 3)), max_iterations=10)
+        save_model(_path(tmp_path, "mh"), mh)
+        mh2 = load_model(_path(tmp_path, "mh"))
+        probs = rng.uniform(0.1, 0.9, (4, 2))
+        qf = rng.normal(0, 1, (4, 3))
+        np.testing.assert_allclose(mh2(probs, qf), mh(probs, qf), rtol=1e-12)
+
+    def test_platt(self, tmp_path):
+        c = PlattCalibrator(a=2.0, b=-1.0)
+        save_model(_path(tmp_path, "p"), c)
+        c2 = load_model(_path(tmp_path, "p"))
+        assert c2.a == 2.0 and c2.b == -1.0
+
+    def test_isotonic(self, tmp_path):
+        c = IsotonicCalibrator()
+        c.fit(np.array([0.0, 1.0, 2.0, 3.0]), np.array([0.0, 0.0, 1.0, 1.0]))
+        save_model(_path(tmp_path, "i"), c)
+        c2 = load_model(_path(tmp_path, "i"))
+        xs = np.linspace(-1, 4, 20)
+        np.testing.assert_allclose(c2.calibrate(xs), c.calibrate(xs))
+
+    def test_unfitted_isotonic_raises(self, tmp_path):
+        with pytest.raises(ValueError):
+            save_model(_path(tmp_path, "i"), IsotonicCalibrator())
+
+    def test_unknown_type_raises(self, tmp_path):
+        with pytest.raises(TypeError):
+            save_model(_path(tmp_path, "x"), object())
