@@ -92,6 +92,34 @@ def tf_saturation(tf, doc_len, avgdl, k1: float, b: float, method: str):
     return sat
 
 
+def _corpus_to_csr(corpus_tokens: list[list[str]], vocab: dict):
+    """Python fallback for the native corpus builder: per-doc unique
+    (term_id, count) CSR arrays in first-occurrence order."""
+    n_docs = len(corpus_tokens)
+    indptr = np.zeros(n_docs + 1, dtype=np.int64)
+    term_ids: list[int] = []
+    term_counts: list[int] = []
+    doc_lengths = np.zeros(n_docs, dtype=np.int64)
+    for i, tokens in enumerate(corpus_tokens):
+        doc_lengths[i] = len(tokens)
+        counts: dict[int, int] = {}
+        for tok in tokens:
+            tid = vocab.get(tok)
+            if tid is None:
+                tid = len(vocab)
+                vocab[tok] = tid
+            counts[tid] = counts.get(tid, 0) + 1
+        term_ids.extend(counts.keys())
+        term_counts.extend(counts.values())
+        indptr[i + 1] = len(term_ids)
+    return (
+        indptr,
+        np.asarray(term_ids, dtype=np.int64),
+        np.asarray(term_counts, dtype=np.int64),
+        doc_lengths,
+    )
+
+
 def build_index(
     corpus_tokens: list[list[str]],
     k1: float = 1.2,
@@ -100,13 +128,15 @@ def build_index(
     vocab: dict | None = None,
     pad_multiple: int = 128,
     doc_pad_multiple: int = 2048,  # = pallas_bm25.DOC_BLOCK
+    csr=None,
 ) -> BM25Index:
     """Tokenized corpus -> device index.
 
-    Host pass 1 builds the vocabulary and per-doc (term, count) pairs; the
-    per-(doc, term) BM25 contributions are then computed vectorized and
-    padded into the doc-major table. ``vocab`` can be supplied to share a
-    term-id space across indexes (multi-field search).
+    The host pass builds the vocabulary and per-doc (term, count) CSR (in
+    C++ via ``csr=`` from engine/native.py when available); the
+    per-(doc, term) BM25 contributions are then computed fully vectorized
+    and scattered into the padded doc-major table. ``vocab`` can be
+    supplied to share a term-id space across indexes (multi-field search).
     """
     if method not in VALID_METHODS:
         raise ValueError(f"method must be one of {VALID_METHODS}, got {method!r}")
@@ -115,46 +145,25 @@ def build_index(
     if n_docs == 0:
         raise ValueError("corpus must contain at least one document")
 
-    own_vocab = vocab is None
-    if own_vocab:
+    if vocab is None:
         vocab = {}
-
-    doc_term_lists: list[np.ndarray] = []
-    doc_count_lists: list[np.ndarray] = []
-    doc_lengths = np.zeros(n_docs, dtype=np.float64)
-
-    for i, tokens in enumerate(corpus_tokens):
-        doc_lengths[i] = len(tokens)
-        counts: dict[int, int] = {}
-        for tok in tokens:
-            tid = vocab.get(tok)
-            if tid is None:
-                if own_vocab:
-                    tid = len(vocab)
-                    vocab[tok] = tid
-                else:
-                    tid = len(vocab)
-                    vocab[tok] = tid
-            counts[tid] = counts.get(tid, 0) + 1
-        if counts:
-            tids = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
-            cnts = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
-        else:
-            tids = np.empty(0, dtype=np.int64)
-            cnts = np.empty(0, dtype=np.int64)
-        doc_term_lists.append(tids)
-        doc_count_lists.append(cnts)
+    if csr is None:
+        indptr, tids_flat, counts_flat, doc_len_i = _corpus_to_csr(
+            corpus_tokens, vocab
+        )
+    else:
+        indptr, tids_flat, counts_flat, doc_len_i = csr
+    doc_lengths = doc_len_i.astype(np.float64)
 
     n_terms = len(vocab)
     avgdl = float(np.mean(doc_lengths)) if n_docs else 0.0
 
-    # Document frequencies
-    df = np.zeros(n_terms, dtype=np.int64)
-    for tids in doc_term_lists:
-        df[tids] += 1
+    # Document frequencies: CSR rows hold unique terms, so one bincount.
+    df = np.bincount(tids_flat, minlength=n_terms).astype(np.int64)
     idf = compute_idf(np.maximum(df, 1), n_docs, method)
 
-    max_terms = max((len(t) for t in doc_term_lists), default=1)
+    per_doc_terms = np.diff(indptr)
+    max_terms = int(per_doc_terms.max()) if n_docs else 1
     T = max(_round_up(max(max_terms, 1), pad_multiple), pad_multiple)
 
     # Pad the doc axis to the Pallas doc-block multiple; pad rows have no
@@ -164,14 +173,16 @@ def build_index(
     D_pad = _round_up(n_docs, doc_pad_multiple)
     term_ids = np.full((D_pad, T), DOC_PAD, dtype=np.int32)
     weights = np.zeros((D_pad, T), dtype=np.float32)
-    for i, (tids, cnts) in enumerate(zip(doc_term_lists, doc_count_lists)):
-        m = len(tids)
-        if m == 0:
-            continue
-        term_ids[i, :m] = tids
-        weights[i, :m] = idf[tids] * tf_saturation(
-            cnts.astype(np.float64), doc_lengths[i], avgdl, k1, b, method
-        )
+
+    if len(tids_flat):
+        row = np.repeat(np.arange(n_docs), per_doc_terms)
+        col = np.arange(len(tids_flat)) - indptr[row]
+        K = k1 * (1.0 - b + b * doc_lengths[row] / max(avgdl, 1e-12))
+        sat = counts_flat / (counts_flat + K)
+        if method in ("robertson", "atire"):
+            sat = (k1 + 1.0) * sat
+        term_ids[row, col] = tids_flat
+        weights[row, col] = idf[tids_flat] * sat
 
     doc_lengths_pad = np.full(D_pad, max(avgdl, 1.0), dtype=np.float64)
     doc_lengths_pad[:n_docs] = doc_lengths
@@ -191,6 +202,59 @@ def build_index(
         avgdl=avgdl,
         max_doc_terms=T,
     )
+
+
+def build_index_from_texts(
+    texts: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    method: str = "robertson",
+    *,
+    lowercase: bool = True,
+    remove_stopwords: bool = True,
+    stem: bool = True,
+    use_native: bool | str = "auto",
+    return_tokens: bool = True,
+):
+    """Raw texts -> (BM25Index, corpus_tokens) using the C++ tokenizer +
+    corpus builder when available (one native pass for tokenize + vocab +
+    counting), falling back to the Python pipeline. With
+    ``return_tokens=False`` the per-doc token lists are not materialized
+    (skips a full decode pass; corpus_tokens comes back None)."""
+    if use_native in ("auto", True):
+        try:
+            from bayesian_bm25_tpu.engine.native import (
+                build_corpus_native,
+                tokenize_texts_native,
+            )
+
+            vocab, indptr, tids, counts, dlens = build_corpus_native(
+                texts, lowercase=lowercase,
+                remove_stopwords=remove_stopwords, stem=stem,
+            )
+            corpus_tokens = None
+            if return_tokens:
+                corpus_tokens = tokenize_texts_native(
+                    texts, lowercase=lowercase,
+                    remove_stopwords=remove_stopwords, stem=stem,
+                )
+            idx = build_index(
+                [None] * len(texts), k1=k1, b=b, method=method, vocab=vocab,
+                csr=(indptr, tids.astype(np.int64),
+                     counts.astype(np.int64), dlens.astype(np.int64)),
+            )
+            return idx, corpus_tokens
+        except (ImportError, OSError):
+            if use_native is True:
+                raise
+    from bayesian_bm25_tpu.engine.tokenize import tokenize_py
+
+    corpus_tokens = [
+        tokenize_py(t, lowercase=lowercase,
+                    remove_stopwords=remove_stopwords, stem=stem)
+        for t in texts
+    ]
+    return build_index(corpus_tokens, k1=k1, b=b, method=method), corpus_tokens
 
 
 def encode_queries(

@@ -1,0 +1,161 @@
+"""ctypes bindings for the C++ host-side hot loops (native/bb25_native.cpp).
+
+Builds the shared library on first use with g++ (cached next to the
+package) and exposes:
+
+  * ``tokenize_texts_native`` — batch tokenization (strings out)
+  * ``build_corpus_native``   — tokenize + vocab + per-doc term counts in
+    one pass, returning numpy CSR arrays ready for the device index builder
+
+Falls back are handled by callers (engine/tokenize.py, engine/index.py):
+everything here raises ImportError/OSError when the toolchain or source is
+unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LIB = None
+_LOCK = threading.Lock()
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                    "bb25_native.cpp")
+_SO = os.path.join(os.path.dirname(__file__), "_bb25_native.so")
+
+
+class _TokenizeResult(ctypes.Structure):
+    _fields_ = [
+        ("token_blob", ctypes.c_char_p),
+        ("token_offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("doc_offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("n_tokens", ctypes.c_int64),
+        ("blob_size", ctypes.c_int64),
+    ]
+
+
+class _CorpusResult(ctypes.Structure):
+    _fields_ = [
+        ("doc_indptr", ctypes.POINTER(ctypes.c_int64)),
+        ("term_ids", ctypes.POINTER(ctypes.c_int32)),
+        ("term_counts", ctypes.POINTER(ctypes.c_int32)),
+        ("doc_lengths", ctypes.POINTER(ctypes.c_int32)),
+        ("vocab_blob", ctypes.c_char_p),
+        ("vocab_offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("n_vocab", ctypes.c_int64),
+        ("nnz", ctypes.c_int64),
+        ("vocab_blob_size", ctypes.c_int64),
+    ]
+
+
+def _build_library() -> str:
+    src = os.path.abspath(_SRC)
+    if not os.path.exists(src):
+        raise ImportError(f"native source not found: {src}")
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
+        return _SO
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as exc:
+        detail = getattr(exc, "stderr", str(exc))
+        raise ImportError(f"failed to build native library: {detail}") from exc
+    return _SO
+
+
+def _load():
+    global _LIB
+    with _LOCK:
+        if _LIB is None:
+            lib = ctypes.CDLL(_build_library())
+            lib.bb25_tokenize.restype = ctypes.POINTER(_TokenizeResult)
+            lib.bb25_tokenize.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.bb25_free_tokenize.argtypes = [ctypes.POINTER(_TokenizeResult)]
+            lib.bb25_build_corpus.restype = ctypes.POINTER(_CorpusResult)
+            lib.bb25_build_corpus.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.bb25_free_corpus.argtypes = [ctypes.POINTER(_CorpusResult)]
+            _LIB = lib
+    return _LIB
+
+
+def _pack_texts(texts: list[str]):
+    encoded = [t.encode("utf-8", errors="ignore") for t in texts]
+    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    blob = b"".join(encoded)
+    return blob, offsets
+
+
+def tokenize_texts_native(texts: list[str], *, lowercase=True,
+                          remove_stopwords=True, stem=True) -> list[list[str]]:
+    """Batch tokenize via the C++ pipeline; returns per-doc token lists."""
+    lib = _load()
+    blob, offsets = _pack_texts(texts)
+    res = lib.bb25_tokenize(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(texts), int(lowercase), int(remove_stopwords), int(stem),
+    )
+    try:
+        r = res.contents
+        n_tok = int(r.n_tokens)
+        tok_off = np.ctypeslib.as_array(r.token_offsets, shape=(n_tok + 1,))
+        doc_off = np.ctypeslib.as_array(r.doc_offsets, shape=(len(texts) + 1,))
+        token_blob = ctypes.string_at(r.token_blob, int(r.blob_size))
+        tokens = [
+            token_blob[tok_off[i]:tok_off[i + 1]].decode("utf-8")
+            for i in range(n_tok)
+        ]
+        return [
+            tokens[doc_off[d]:doc_off[d + 1]] for d in range(len(texts))
+        ]
+    finally:
+        lib.bb25_free_tokenize(res)
+
+
+def build_corpus_native(texts: list[str], *, lowercase=True,
+                        remove_stopwords=True, stem=True):
+    """Tokenize + vocab + per-doc unique-term counts in one native pass.
+
+    Returns (vocab: dict[str, int], doc_indptr (n+1,), term_ids (nnz,),
+    term_counts (nnz,), doc_lengths (n,)).
+    """
+    lib = _load()
+    blob, offsets = _pack_texts(texts)
+    res = lib.bb25_build_corpus(
+        blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(texts), int(lowercase), int(remove_stopwords), int(stem),
+    )
+    try:
+        r = res.contents
+        nnz = int(r.nnz)
+        n_vocab = int(r.n_vocab)
+        indptr = np.array(
+            np.ctypeslib.as_array(r.doc_indptr, shape=(len(texts) + 1,))
+        )
+        term_ids = np.array(np.ctypeslib.as_array(r.term_ids, shape=(max(nnz, 1),)))[:nnz]
+        term_counts = np.array(
+            np.ctypeslib.as_array(r.term_counts, shape=(max(nnz, 1),))
+        )[:nnz]
+        doc_lengths = np.array(
+            np.ctypeslib.as_array(r.doc_lengths, shape=(max(len(texts), 1),))
+        )[: len(texts)]
+        voc_off = np.ctypeslib.as_array(r.vocab_offsets, shape=(n_vocab + 1,))
+        vocab_blob = ctypes.string_at(r.vocab_blob, int(r.vocab_blob_size))
+        vocab = {
+            vocab_blob[voc_off[i]:voc_off[i + 1]].decode("utf-8"): i
+            for i in range(n_vocab)
+        }
+        return vocab, indptr, term_ids, term_counts, doc_lengths
+    finally:
+        lib.bb25_free_corpus(res)

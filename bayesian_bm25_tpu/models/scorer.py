@@ -35,6 +35,41 @@ class RetrievalResult:
     explanations: list | None
 
 
+class _LazyTokens:
+    """Sequence view over raw texts that tokenizes per-doc on demand.
+
+    Lets ``index_texts`` skip materializing millions of token lists: only
+    docs actually inspected (pseudo-query sampling, explain traces,
+    add_documents) are tokenized, and the seeded pseudo-query sample is
+    pre-populated in ``known``.
+    """
+
+    def __init__(self, texts, *, lowercase, remove_stopwords, stem,
+                 known=None):
+        self._texts = texts
+        self._opts = dict(lowercase=lowercase,
+                          remove_stopwords=remove_stopwords, stem=stem)
+        self._cache = dict(known or {})
+
+    def __len__(self):
+        return len(self._texts)
+
+    def __getitem__(self, i):
+        i = int(i)
+        if i not in self._cache:
+            from bayesian_bm25_tpu.engine.tokenize import tokenize_py
+
+            self._cache[i] = tokenize_py(self._texts[i], **self._opts)
+        return self._cache[i]
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __add__(self, other):
+        return list(self) + list(other)
+
+
 def _use_pallas() -> bool:
     # The fused XLA scoring path currently outperforms the hand kernel on
     # v5e (see engine/scoring.py:score_all); flip here when that changes.
@@ -145,6 +180,49 @@ class BayesianBM25Scorer:
         elif isinstance(self._user_base_rate, (int, float)):
             base_rate = float(self._user_base_rate)
 
+        self._transform = BayesianProbabilityTransform(
+            alpha=alpha, beta=beta, base_rate=base_rate
+        )
+
+    def index_texts(self, texts: list[str], *, lowercase: bool = True,
+                    remove_stopwords: bool = True, stem: bool = True) -> None:
+        """Index raw texts via the native tokenize+build pipeline.
+
+        TPU-native extension over the reference's tokens-only ``index()``:
+        one C++ pass for tokenization/vocab/counting, token lists
+        materialized lazily (only add_documents needs them).
+        """
+        from bayesian_bm25_tpu.engine.tokenize import tokenize_texts
+
+        idx, corpus_tokens = eidx.build_index_from_texts(
+            texts, k1=self._k1, b=self._b, method=self._method,
+            lowercase=lowercase, remove_stopwords=remove_stopwords,
+            stem=stem, return_tokens=False,
+        )
+        self._index = idx
+        if corpus_tokens is None:
+            # Native path: only the <=50 sampled pseudo-query docs need
+            # token lists; tokenize just those.
+            rng = np.random.default_rng(42)
+            sample = rng.choice(len(texts), size=min(len(texts), 50),
+                                replace=False)
+            sampled_tokens = tokenize_texts(
+                [texts[i] for i in sample], lowercase=lowercase,
+                remove_stopwords=remove_stopwords, stem=stem,
+            )
+            corpus_tokens = _LazyTokens(
+                texts, lowercase=lowercase,
+                remove_stopwords=remove_stopwords, stem=stem,
+                known=dict(zip((int(i) for i in sample), sampled_tokens)),
+            )
+        self._corpus_tokens = corpus_tokens
+        per_query_scores = self._sample_pseudo_query_scores(corpus_tokens)
+        alpha, beta = self._estimate_parameters(per_query_scores)
+        base_rate: float | None = None
+        if self._user_base_rate == "auto":
+            base_rate = self._estimate_base_rate(per_query_scores, len(texts))
+        elif isinstance(self._user_base_rate, (int, float)):
+            base_rate = float(self._user_base_rate)
         self._transform = BayesianProbabilityTransform(
             alpha=alpha, beta=beta, base_rate=base_rate
         )

@@ -1,0 +1,206 @@
+"""Tokenizer + Porter stemmer tests, and C++/Python parity."""
+
+import numpy as np
+import pytest
+
+from bayesian_bm25_tpu.engine.tokenize import (
+    STOPWORDS,
+    porter_stem,
+    tokenize_py,
+    tokenize_texts,
+)
+
+
+class TestPorterStemmer:
+    # Canonical examples from the Porter paper / standard vocabularies.
+    CASES = {
+        "caresses": "caress",
+        "ponies": "poni",
+        "ties": "ti",
+        "caress": "caress",
+        "cats": "cat",
+        "feed": "feed",
+        "agreed": "agre",
+        "plastered": "plaster",
+        "bled": "bled",
+        "motoring": "motor",
+        "sing": "sing",
+        "conflated": "conflat",
+        "troubled": "troubl",
+        "sized": "size",
+        "hopping": "hop",
+        "tanned": "tan",
+        "falling": "fall",
+        "hissing": "hiss",
+        "fizzed": "fizz",
+        "failing": "fail",
+        "filing": "file",
+        "happy": "happi",
+        "sky": "sky",
+        "relational": "relat",
+        "conditional": "condit",
+        "rational": "ration",
+        "valenci": "valenc",
+        "hesitanci": "hesit",
+        "digitizer": "digit",
+        "conformabli": "conform",
+        "radicalli": "radic",
+        "differentli": "differ",
+        "vileli": "vile",
+        "analogousli": "analog",
+        "vietnamization": "vietnam",
+        "predication": "predic",
+        "operator": "oper",
+        "feudalism": "feudal",
+        "decisiveness": "decis",
+        "hopefulness": "hope",
+        "callousness": "callous",
+        "formaliti": "formal",
+        "sensitiviti": "sensit",
+        "sensibiliti": "sensibl",
+        "triplicate": "triplic",
+        "formative": "form",
+        "formalize": "formal",
+        "electriciti": "electr",
+        "electrical": "electr",
+        "hopeful": "hope",
+        "goodness": "good",
+        "revival": "reviv",
+        "allowance": "allow",
+        "inference": "infer",
+        "airliner": "airlin",
+        "gyroscopic": "gyroscop",
+        "adjustable": "adjust",
+        "defensible": "defens",
+        "irritant": "irrit",
+        "replacement": "replac",
+        "adjustment": "adjust",
+        "dependent": "depend",
+        "adoption": "adopt",
+        "homologou": "homolog",
+        "communism": "commun",
+        "activate": "activ",
+        "angulariti": "angular",
+        "homologous": "homolog",
+        "effective": "effect",
+        "bowdlerize": "bowdler",
+        "probate": "probat",
+        "rate": "rate",
+        "cease": "ceas",
+        "controll": "control",
+        "roll": "roll",
+    }
+
+    @pytest.mark.parametrize("word,expected", sorted(CASES.items()))
+    def test_canonical(self, word, expected):
+        assert porter_stem(word) == expected
+
+    def test_short_words_unchanged(self):
+        for w in ("a", "is", "be", "go"):
+            assert porter_stem(w) == w
+
+
+class TestTokenize:
+    def test_basic(self):
+        toks = tokenize_py("The Quick brown FOX!", stem=False)
+        assert toks == ["quick", "brown", "fox"]  # "the" is a stopword
+
+    def test_numbers_kept(self):
+        assert tokenize_py("version 2 release 10", stem=False) == [
+            "version", "2", "release", "10"
+        ]
+
+    def test_punctuation_splits(self):
+        assert tokenize_py("state-of-the-art", stem=False) == [
+            "state", "art"
+        ]  # "of" and "the" are stopwords
+
+    def test_stemming_applied(self):
+        assert tokenize_py("running dogs") == ["run", "dog"]
+
+    def test_no_options(self):
+        toks = tokenize_py("The Running", lowercase=False,
+                           remove_stopwords=False, stem=False)
+        assert toks == ["he", "unning"]  # uppercase chars excluded by regex
+
+    def test_empty(self):
+        assert tokenize_py("") == []
+        assert tokenize_py("!!! ...") == []
+
+    def test_stopwords_frozen(self):
+        assert "the" in STOPWORDS and "with" in STOPWORDS
+
+
+class TestNativeParity:
+    @pytest.fixture(scope="class")
+    def native_available(self):
+        try:
+            from bayesian_bm25_tpu.engine.native import tokenize_texts_native
+
+            tokenize_texts_native(["probe"])
+            return True
+        except (ImportError, OSError):
+            pytest.skip("native toolchain unavailable")
+
+    def test_tokenize_parity(self, native_available):
+        from bayesian_bm25_tpu.engine.native import tokenize_texts_native
+
+        rng = np.random.default_rng(0)
+        words = ["running", "the", "CATS", "state-of-the-art", "foo123",
+                 "relational", "hopping", "agreement", "", "généralisation",
+                 "x", "controlled", "analogously", "predication!!!"]
+        texts = [
+            " ".join(rng.choice(words, size=rng.integers(0, 12)))
+            for _ in range(50)
+        ]
+        texts += ["", "   ", "ALL CAPS TEXT", "123 456"]
+        expected = [tokenize_py(t) for t in texts]
+        got = tokenize_texts_native(texts)
+        assert got == expected
+
+    def test_corpus_build_parity(self, native_available):
+        from bayesian_bm25_tpu.engine.native import build_corpus_native
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "a fast auburn foxes leaped over sleepy canines",
+            "running runs runner ran",
+            "",
+        ]
+        vocab, indptr, tids, counts, dlens = build_corpus_native(texts)
+        # Rebuild expectations from the Python tokenizer
+        py_tokens = [tokenize_py(t) for t in texts]
+        assert list(dlens) == [len(t) for t in py_tokens]
+        for d, toks in enumerate(py_tokens):
+            got = {}
+            for i in range(indptr[d], indptr[d + 1]):
+                inv = {v: k for k, v in vocab.items()}
+                got[inv[tids[i]]] = counts[i]
+            expected = {}
+            for t in toks:
+                expected[t] = expected.get(t, 0) + 1
+            assert got == expected
+
+    def test_index_from_texts_matches_python_path(self, native_available):
+        from bayesian_bm25_tpu.engine.index import build_index_from_texts
+
+        texts = [
+            "machine learning models require training data",
+            "deep learning uses neural networks with many layers",
+            "the cat sat on the warm mat",
+        ]
+        idx_n, toks_n = build_index_from_texts(texts, use_native=True)
+        idx_p, toks_p = build_index_from_texts(texts, use_native=False)
+        assert toks_n == toks_p
+        assert idx_n.n_terms == idx_p.n_terms
+        assert idx_n.avgdl == pytest.approx(idx_p.avgdl)
+        # same scoring behavior regardless of path
+        from bayesian_bm25_tpu.engine import index as eidx, scoring
+
+        qids_n, qcnt_n = eidx.encode_queries([toks_n[0][:3]], idx_n.vocab)
+        qids_p, qcnt_p = eidx.encode_queries([toks_p[0][:3]], idx_p.vocab)
+        s_n, _ = scoring.score_all_xla(idx_n.term_ids, idx_n.weights, qids_n, qcnt_n)
+        s_p, _ = scoring.score_all_xla(idx_p.term_ids, idx_p.weights, qids_p, qcnt_p)
+        np.testing.assert_allclose(
+            np.asarray(s_n)[:, :3], np.asarray(s_p)[:, :3], rtol=1e-6
+        )
