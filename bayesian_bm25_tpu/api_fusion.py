@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from bayesian_bm25_tpu.ops.placement import on_host
+
 from bayesian_bm25_tpu.ops import fusion as F
 
 
@@ -21,16 +23,19 @@ def _ret(x, *inputs):
     return arr
 
 
+@on_host
 def cosine_to_probability(score):
     """Cosine similarity [-1,1] -> probability (1+s)/2 (fusion.py:25-45)."""
     return _ret(F.cosine_to_probability(score), score)
 
 
+@on_host
 def prob_not(prob):
     """P(NOT R) = 1 - P(R) (fusion.py:48-66)."""
     return _ret(F.prob_not(prob), prob)
 
 
+@on_host
 def prob_and(probs):
     """AND via product rule in log space over the last axis (fusion.py:69-83)."""
     out = F.prob_and(probs)
@@ -38,6 +43,7 @@ def prob_and(probs):
     return float(arr) if arr.ndim == 0 else arr
 
 
+@on_host
 def prob_or(probs):
     """OR via complement rule in log space over the last axis (fusion.py:86-100)."""
     out = F.prob_or(probs)
@@ -45,6 +51,7 @@ def prob_or(probs):
     return float(arr) if arr.ndim == 0 else arr
 
 
+@on_host
 def log_odds_conjunction(
     probs,
     alpha=None,
@@ -75,6 +82,7 @@ def log_odds_conjunction(
     return float(arr) if arr.ndim == 0 else arr
 
 
+@on_host
 def balanced_log_odds_fusion(sparse_probs, dense_similarities, weight=0.5):
     """Hybrid sparse+dense fusion scores (fusion.py:283-343)."""
     return _ret(

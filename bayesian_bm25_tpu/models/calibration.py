@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from bayesian_bm25_tpu.ops.placement import on_host
+
 import jax
 import jax.numpy as jnp
 
@@ -52,6 +54,7 @@ class PlattCalibrator:
         self.a = float(a)
         self.b = float(b)
 
+    @on_host
     def fit(self, scores, labels, *, learning_rate=0.01, max_iterations=1000,
             tolerance=1e-6) -> None:
         a, b = _platt_fit_jit(
@@ -64,6 +67,7 @@ class PlattCalibrator:
         self.a = float(a)
         self.b = float(b)
 
+    @on_host
     def calibrate(self, scores):
         out = np.asarray(sigmoid(self.a * as_float(scores) + self.b))
         return float(out) if out.ndim == 0 else out
@@ -103,6 +107,7 @@ class IsotonicCalibrator:
         self._x: np.ndarray | None = None
         self._y: np.ndarray | None = None
 
+    @on_host
     def fit(self, scores, labels) -> None:
         scores = np.asarray(scores, dtype=np.float64)
         labels = np.asarray(labels, dtype=np.float64)
@@ -126,6 +131,7 @@ class IsotonicCalibrator:
         self._x = np.array([b[2] / b[1] for b in blocks], dtype=np.float64)
         self._y = np.array([b[0] / b[1] for b in blocks], dtype=np.float64)
 
+    @on_host
     def calibrate(self, scores):
         if self._x is None or self._y is None:
             raise RuntimeError("Call fit() before calibrate().")

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from bayesian_bm25_tpu.ops.placement import on_host
+
 import jax
 
 from bayesian_bm25_tpu.ops import fusion_learn as FL
@@ -88,6 +90,7 @@ class LearnableLogOddsWeights:
     def _scale(self) -> float:
         return self._n_signals ** self._alpha
 
+    @on_host
     def __call__(self, probs, use_averaged: bool = False):
         probs = np.asarray(probs, dtype=np.float64)
         if probs.shape[-1] != self._n_signals:
@@ -110,6 +113,7 @@ class LearnableLogOddsWeights:
             )
         return float(out) if out.ndim == 0 else out
 
+    @on_host
     def fit(self, probs, labels, *, learning_rate=0.01, max_iterations=1000,
             tolerance=1e-6) -> None:
         """Batch GD with the Hebbian gradient (fusion.py:457-535)."""
@@ -129,6 +133,7 @@ class LearnableLogOddsWeights:
         self._grad_logits_ema = np.zeros(self._n_signals, dtype=np.float64)
         self._weights_avg = self.weights.copy()
 
+    @on_host
     def update(self, probs, label, *, learning_rate=0.01, momentum=0.9,
                decay_tau=1000.0, max_grad_norm=1.0, avg_decay=0.995) -> None:
         """Online SGD with EMA/bias-correction/clip/decay + Polyak averaging
@@ -229,6 +234,7 @@ class AttentionLogOddsWeights:
             FL.attention_weights(self._params(use_averaged), query_features)
         )
 
+    @on_host
     def __call__(self, probs, query_features, use_averaged: bool = False):
         probs_arr = np.asarray(probs, dtype=np.float64)
         scalar = probs_arr.ndim == 1
@@ -246,6 +252,7 @@ class AttentionLogOddsWeights:
             return float(out[0]) if out.ndim else float(out)
         return np.atleast_1d(out)
 
+    @on_host
     def fit(self, probs, labels, query_features, *, query_ids=None,
             learning_rate=0.01, max_iterations=1000, tolerance=1e-6) -> None:
         """Batch GD on BCE through the softmax Jacobian (fusion.py:830-935).
@@ -276,6 +283,7 @@ class AttentionLogOddsWeights:
         self._W_avg = self._W.copy()
         self._b_avg = self._b.copy()
 
+    @on_host
     def update(self, probs, label, query_features, *, learning_rate=0.01,
                momentum=0.9, decay_tau=1000.0, max_grad_norm=1.0,
                avg_decay=0.995) -> None:
@@ -304,6 +312,7 @@ class AttentionLogOddsWeights:
         self._b_avg = np.asarray(new.params_avg.b, dtype=np.float64)
         self._n_updates = int(new.n_updates)
 
+    @on_host
     def compute_upper_bounds(self, upper_bound_probs, query_features,
                              use_averaged: bool = False) -> np.ndarray:
         """Fused probability upper bound per candidate (Theorem 8.7.1)."""
@@ -368,6 +377,7 @@ class MultiHeadAttentionLogOddsWeights:
     def _stacked(self, use_averaged: bool) -> FL.AttentionParams:
         return FL.stack_heads([h._params(use_averaged) for h in self._heads])
 
+    @on_host
     def __call__(self, probs, query_features, use_averaged: bool = False):
         probs_arr = np.asarray(probs, dtype=np.float64)
         scalar = probs_arr.ndim == 1
@@ -383,15 +393,18 @@ class MultiHeadAttentionLogOddsWeights:
             return float(out[0]) if out.ndim else float(out)
         return np.atleast_1d(out)
 
+    @on_host
     def fit(self, probs, labels, query_features, **kwargs) -> None:
         """Train all heads on the same data (diversity from seeds)."""
         for head in self._heads:
             head.fit(probs, labels, query_features, **kwargs)
 
+    @on_host
     def update(self, probs, label, query_features, **kwargs) -> None:
         for head in self._heads:
             head.update(probs, label, query_features, **kwargs)
 
+    @on_host
     def compute_upper_bounds(self, upper_bound_probs, query_features,
                              use_averaged: bool = False) -> np.ndarray:
         """Average per-head upper-bound log-odds, then sigmoid

@@ -98,6 +98,26 @@ class MultiFieldScorer:
             weights=weights,
         ))
 
+    def get_probabilities_batch(self, query_tokens_batch: list) -> np.ndarray:
+        """Fused probabilities for a query batch: (nq, num_docs).
+
+        TPU-native extension: one batched device pass per field, one fusion
+        op — keeps the chip busy instead of a per-query loop.
+        """
+        if not self._scorers:
+            raise RuntimeError("Call index() before get_probabilities_batch().")
+        field_probs = np.stack([
+            self._scorers[f].get_probabilities_batch(query_tokens_batch)
+            for f in self._fields
+        ], axis=-1)  # (nq, n_docs, n_fields)
+        weights = np.array(
+            [self._field_weights[f] for f in self._fields], dtype=np.float64
+        )
+        return np.asarray(log_odds_conjunction(
+            field_probs, alpha=resolve_alpha(self._alpha, default=0.5),
+            weights=weights,
+        ))
+
     def retrieve(self, query_tokens: list[str], k: int = 10):
         """Top-k by fused probability (descending)."""
         probs = self.get_probabilities(query_tokens)

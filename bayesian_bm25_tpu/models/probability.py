@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from bayesian_bm25_tpu.ops.placement import on_host
+
 from bayesian_bm25_tpu.ops import transform as T
 from bayesian_bm25_tpu.ops.mathx import ALPHA_MIN  # noqa: F401 (re-export)
 
@@ -24,6 +26,7 @@ def _ret(x, *inputs):
     return arr
 
 
+@on_host
 def sigmoid(x):
     """Stable sigmoid (module-level parity with probability.py:29-41)."""
     from bayesian_bm25_tpu.ops.mathx import sigmoid as _s
@@ -31,6 +34,7 @@ def sigmoid(x):
     return _ret(_s(x), x)
 
 
+@on_host
 def logit(p):
     """Clamped logit (module-level parity with probability.py:44-48)."""
     from bayesian_bm25_tpu.ops.mathx import logit as _l
@@ -75,26 +79,31 @@ class BayesianProbabilityTransform:
         """Polyak-averaged beta for stable inference after online updates."""
         return self._beta_avg
 
+    @on_host
     def likelihood(self, score):
         """sigma(alpha * (score - beta))."""
         return _ret(T.likelihood(score, self.alpha, self.beta), score)
 
     @staticmethod
+    @on_host
     def tf_prior(tf):
         """0.2 + 0.7 * min(1, tf / 10)."""
         return _ret(T.tf_prior(tf), tf)
 
     @staticmethod
+    @on_host
     def norm_prior(doc_len_ratio):
         """0.3 + 0.6 * (1 - min(1, |r - 0.5| * 2))."""
         return _ret(T.norm_prior(doc_len_ratio), doc_len_ratio)
 
     @staticmethod
+    @on_host
     def composite_prior(tf, doc_len_ratio):
         """clip(0.7 * P_tf + 0.3 * P_norm, 0.1, 0.9)."""
         return _ret(T.composite_prior(tf, doc_len_ratio), tf, doc_len_ratio)
 
     @staticmethod
+    @on_host
     def posterior(likelihood_val, prior, base_rate=None):
         """Two-step Bayes odds update (probability.py:142-169)."""
         return _ret(
@@ -102,6 +111,7 @@ class BayesianProbabilityTransform:
             likelihood_val, prior,
         )
 
+    @on_host
     def score_to_probability(self, score, tf, doc_len_ratio):
         """Full pipeline: score -> likelihood -> prior -> posterior."""
         prior = None
@@ -113,6 +123,7 @@ class BayesianProbabilityTransform:
         )
         return _ret(out, score, tf, doc_len_ratio)
 
+    @on_host
     def wand_upper_bound(self, bm25_upper_bound, p_max: float = 0.9):
         """Safe Bayesian probability upper bound for WAND pruning."""
         return _ret(
@@ -134,6 +145,7 @@ class BayesianProbabilityTransform:
                 "tfs and doc_len_ratios are required when mode='prior_aware'"
             )
 
+    @on_host
     def fit(
         self,
         scores,
@@ -178,6 +190,7 @@ class BayesianProbabilityTransform:
         self._alpha_avg = self.alpha
         self._beta_avg = self.beta
 
+    @on_host
     def update(
         self,
         score,
@@ -256,6 +269,7 @@ class TemporalBayesianTransform(BayesianProbabilityTransform):
     def timestamp(self) -> int:
         return self._timestamp
 
+    @on_host
     def fit(self, scores, labels, *, timestamps=None, **kwargs) -> None:
         """Batch fit with per-sample weights exp(-ln2/half_life*(max_ts-ts)),
         normalized to sum to n (probability.py:571-578)."""
@@ -266,6 +280,7 @@ class TemporalBayesianTransform(BayesianProbabilityTransform):
             sample_weights = w * (len(ts) / float(np.sum(w)))
         super().fit(scores, labels, sample_weights=sample_weights, **kwargs)
 
+    @on_host
     def update(self, score, label, *, avg_decay: float = 0.995, **kwargs) -> None:
         """Online update with timestamp-shrunk Polyak decay
         avg_decay*(1 - 1/(1+t)) (probability.py:652-655)."""

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from bayesian_bm25_tpu.ops.placement import on_host
+
 import jax
 
 from bayesian_bm25_tpu.ops import density as dens
@@ -65,6 +67,7 @@ class VectorProbabilityTransform:
 
     # -- weight construction (host: tiny sort/scan work) ---------------------
 
+    @on_host
     def _detect_gap(self, distances, threshold_ratio: float = 0.15):
         d = np.asarray(distances, dtype=np.float64)
         if len(d) < 3:
@@ -72,6 +75,7 @@ class VectorProbabilityTransform:
         idx, found = dens.detect_gap_index(d, threshold_ratio)
         return int(idx) if bool(found) else None
 
+    @on_host
     def _gap_weights(self, distances):
         d = np.asarray(distances, dtype=np.float64)
         gap_idx = self._detect_gap(d)
@@ -81,10 +85,12 @@ class VectorProbabilityTransform:
         return np.where(d < threshold, 1.0, 0.0)
 
     @staticmethod
+    @on_host
     def _sharpen_weights(weights, temperature: float = 0.05):
         return _np(dens.sharpen_weights(weights, temperature))
 
     @staticmethod
+    @on_host
     def _distance_density_weights(distances):
         return _np(dens.distance_density_weights(distances))
 
@@ -99,6 +105,7 @@ class VectorProbabilityTransform:
 
     # -- density estimators ---------------------------------------------------
 
+    @on_host
     def estimate_kde(self, distances, weights, bandwidth_factor: float = 2.0,
                      *, eval_points=None):
         """Weighted KDE for f_R with scaled Silverman bandwidth (one
@@ -109,6 +116,7 @@ class VectorProbabilityTransform:
         h = float(_np(dens.silverman_bandwidth(d, w))) * bandwidth_factor
         return _np(_kde_jit(e, d, w, h))
 
+    @on_host
     def estimate_gmm(self, distances, weights=None, *, max_iter: int = 100,
                      tol: float = 1e-6, eval_points=None):
         """Fixed-background GMM-EM for f_R; weights inform initialization
@@ -144,6 +152,7 @@ class VectorProbabilityTransform:
 
     # -- routing (Strategy 4.6.1 / vector_probability.py:442-535) -------------
 
+    @on_host
     def _estimate_relevant_density(
         self, eval_points, sample_distances, *, weights=None,
         method: str = "auto", bandwidth_factor: float = 2.0,
@@ -203,6 +212,7 @@ class VectorProbabilityTransform:
 
     # -- calibration -----------------------------------------------------------
 
+    @on_host
     def log_density_ratio(self, distances, f_R_values):
         """log(f_R(d) / f_G(d)) with epsilon floors (Definition 3.2.1)."""
         d = np.asarray(distances, dtype=np.float64)
@@ -211,6 +221,7 @@ class VectorProbabilityTransform:
         out = np.log(f_R / f_G)
         return float(out) if out.ndim == 0 else out
 
+    @on_host
     def calibrate(self, distances, *, weights=None, method: str = "auto",
                   bandwidth_factor: float = 2.0, density_prior=None):
         """P(R|d) = sigma(log density ratio + logit base rate), with the
@@ -226,6 +237,7 @@ class VectorProbabilityTransform:
         )))
         return float(out[0]) if scalar else out
 
+    @on_host
     def calibrate_with_sample(self, eval_distances, sample_distances, *,
                               weights=None, method: str = "auto",
                               bandwidth_factor: float = 2.0,
@@ -245,6 +257,7 @@ class VectorProbabilityTransform:
         return float(out[0]) if scalar else out
 
 
+@on_host
 def ivf_density_prior(cell_population, avg_population, *, gamma: float = 1.0):
     """sigma(gamma * (avg_pop / cell_pop - 1)): sparse IVF cells get higher
     prior weight — the IDF analogue (vector_probability.py:666-700)."""
@@ -254,6 +267,7 @@ def ivf_density_prior(cell_population, avg_population, *, gamma: float = 1.0):
     return float(out) if out.ndim == 0 else out
 
 
+@on_host
 def knn_density_prior(kth_distance, global_median_kth, *, gamma: float = 1.0):
     """sigma(gamma * (kth_dist / global_median - 1)): sparse neighborhoods
     get higher prior weight (vector_probability.py:703-737)."""

@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bayesian_bm25_tpu.ops.placement import on_host
+
 from bayesian_bm25_tpu.ops.mathx import as_float
 
 
@@ -45,6 +47,7 @@ def _ece_kernel(probabilities, labels, count, p_sum, y_sum):
     return jnp.sum(jnp.where(count > 0, (count / total) * gap, 0.0))
 
 
+@on_host
 def expected_calibration_error(probabilities, labels, n_bins: int = 10) -> float:
     """Expected Calibration Error; lower is better, 0 is perfect."""
     count, p_sum, y_sum = _binned_sums(probabilities, labels, n_bins)
@@ -52,6 +55,7 @@ def expected_calibration_error(probabilities, labels, n_bins: int = 10) -> float
                              count, p_sum, y_sum))
 
 
+@on_host
 def brier_score(probabilities, labels) -> float:
     """Mean squared error between probabilities and labels."""
     p = as_float(probabilities)
@@ -59,6 +63,7 @@ def brier_score(probabilities, labels) -> float:
     return float(jnp.mean((p - y) ** 2))
 
 
+@on_host
 def log_loss(probabilities, labels, *, eps: float = 1e-15) -> float:
     """Negative log-likelihood with probability clipping at ``eps``."""
     p = jnp.clip(as_float(probabilities), eps, 1.0 - eps)
@@ -66,6 +71,7 @@ def log_loss(probabilities, labels, *, eps: float = 1e-15) -> float:
     return float(-jnp.mean(y * jnp.log(p) + (1.0 - y) * jnp.log1p(-p)))
 
 
+@on_host
 def reliability_diagram(probabilities, labels, n_bins: int = 10):
     """(avg_predicted, avg_actual, count) per non-empty bin."""
     count, p_sum, y_sum = _binned_sums(probabilities, labels, n_bins)

@@ -1,0 +1,579 @@
+"""Hybrid sparse+dense retrieval benchmark — the flagship integration path.
+
+Reproduces the reference's hybrid_beir harness (benchmarks/hybrid_beir.py):
+35+ fusion methods over BEIR-format datasets, with the protocol
+retrieve top-R per signal -> fuse the union -> evaluate top-k
+(hybrid_beir.py:1702-2331). TPU-native restructuring: BM25 scoring for the
+whole query set is one batched device call; dense scoring is one MXU
+matmul; only the per-query union fusion stays host-side.
+
+Environment note: with no dataset/model egress, --synthetic (default) runs
+a self-contained topical dataset and the hash encoder; --data-dir loads
+BEIR-format directories and uses sentence-transformers when its weights
+are cached.
+
+Usage:
+  python benchmarks/hybrid_beir.py                      # synthetic
+  python benchmarks/hybrid_beir.py --data-dir path/scifact --tune -o out.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from bayesian_bm25_tpu import (  # noqa: E402
+    AttentionLogOddsWeights,
+    BayesianBM25Scorer,
+    LearnableLogOddsWeights,
+    MultiFieldScorer,
+    MultiHeadAttentionLogOddsWeights,
+    PlattCalibrator,
+    VectorProbabilityTransform,
+    balanced_log_odds_fusion,
+    cosine_to_probability,
+    ivf_density_prior,
+    log_odds_conjunction,
+    prob_or,
+)
+from bayesian_bm25_tpu.engine.ivf import SimpleIVF  # noqa: E402
+from bayesian_bm25_tpu.engine.tokenize import tokenize_texts  # noqa: E402
+from bayesian_bm25_tpu.models.probability import (  # noqa: E402
+    BayesianProbabilityTransform,
+)
+from benchmarks.metrics import evaluate_run  # noqa: E402
+from benchmarks.utils import (  # noqa: E402
+    IRDataset,
+    encode_dense,
+    load_beir_dataset,
+    synthetic_dataset,
+)
+
+RRF_K = 60
+
+
+def _minmax(x: np.ndarray) -> np.ndarray:
+    lo, hi = float(np.min(x)), float(np.max(x))
+    if hi - lo < 1e-12:
+        return np.zeros_like(x)
+    return (x - lo) / (hi - lo)
+
+
+def _rank_of(scores: np.ndarray) -> np.ndarray:
+    order = np.argsort(-scores)
+    ranks = np.empty_like(order)
+    ranks[order] = np.arange(len(scores))
+    return ranks
+
+
+def _query_features_basic(q_tokens, bm25_union_scores):
+    hits = float(np.mean(bm25_union_scores > 0)) if len(bm25_union_scores) else 0.0
+    mx = float(np.max(bm25_union_scores)) if len(bm25_union_scores) else 0.0
+    return np.array([np.log1p(len(q_tokens)), hits, np.log1p(mx)])
+
+
+def _query_features_rich(basic, dense_union, bm25_top100, dense_top100):
+    top10 = np.sort(dense_union)[::-1][:10]
+    extra = np.array([
+        float(np.mean(top10)) if len(top10) else 0.0,
+        float(np.std(top10)) if len(top10) else 0.0,
+        np.log1p(float(np.max(dense_union)) if len(dense_union) else 0.0),
+        len(set(bm25_top100) & set(dense_top100))
+        / max(len(set(bm25_top100) | set(dense_top100)), 1),
+    ])
+    return np.concatenate([basic, extra])
+
+
+def run_dataset(
+    ds: IRDataset,
+    *,
+    k: int = 10,
+    R: int = 1000,
+    dense_backend: str = "auto",
+    use_ivf: bool = False,
+    ivf_nprobe: int | None = None,
+    tune: bool = False,
+    seed: int = 42,
+    verbose: bool = True,
+) -> dict:
+    """Run every hybrid method on one dataset; returns {method: metrics}."""
+    t0 = time.time()
+    rng = np.random.default_rng(seed)
+
+    def log(msg):
+        if verbose:
+            print(f"[{time.time()-t0:6.1f}s] {msg}", flush=True)
+
+    doc_ids = ds.doc_ids
+    doc_pos = {d: i for i, d in enumerate(doc_ids)}
+    doc_texts = [ds.corpus[d] for d in doc_ids]
+    corpus_tokens = tokenize_texts(doc_texts)
+    qids_list = list(ds.queries.keys())
+    query_tokens = tokenize_texts([ds.queries[q] for q in qids_list])
+    log(f"tokenized {len(doc_ids)} docs / {len(qids_list)} queries")
+
+    # --- index four BM25 scorers (plain + three auto base-rate modes) ------
+    scorers = {}
+    for key, br, brm in (
+        ("plain", None, "percentile"),
+        ("auto", "auto", "percentile"),
+        ("mixture", "auto", "mixture"),
+        ("elbow", "auto", "elbow"),
+    ):
+        s = BayesianBM25Scorer(method="lucene", base_rate=br,
+                               base_rate_method=brm)
+        s.index(corpus_tokens, show_progress=False)
+        scorers[key] = s
+    bm25 = scorers["plain"]
+    log(f"indexed scorers (auto base_rate={scorers['auto'].base_rate:.2e})")
+
+    # --- multi-field -------------------------------------------------------
+    mf = None
+    mf_bal_weight = 0.5
+    if ds.titles:
+        title_tokens = tokenize_texts(
+            [ds.titles.get(d, "") for d in doc_ids]
+        )
+        mf = MultiFieldScorer(["title", "body"], base_rate="auto")
+        mf.index(
+            [{"title": t, "body": b}
+             for t, b in zip(title_tokens, corpus_tokens)],
+            show_progress=False,
+        )
+        log("multi-field indexed")
+
+    # --- dense encodings + full score matrices -----------------------------
+    if ds.doc_emb is not None and dense_backend == "auto":
+        corpus_emb = ds.doc_emb
+        query_emb = ds.query_emb
+    else:
+        corpus_emb = encode_dense(doc_texts, backend=dense_backend)
+        query_emb = encode_dense([ds.queries[q] for q in qids_list],
+                                 backend=dense_backend)
+    corpus_emb = corpus_emb / np.maximum(
+        np.linalg.norm(corpus_emb, axis=1, keepdims=True), 1e-9)
+    query_emb = query_emb / np.maximum(
+        np.linalg.norm(query_emb, axis=1, keepdims=True), 1e-9)
+
+    import jax.numpy as jnp
+
+    dense_all = np.asarray(jnp.asarray(query_emb) @ jnp.asarray(corpus_emb).T)
+    bm25_all = bm25.get_scores_batch(query_tokens)
+    log("scored all queries (dense matmul + batched BM25)")
+
+    probs_all = {
+        key: scorers[key].get_probabilities_batch(query_tokens)
+        for key in scorers
+    }
+    log("bayesian probability arrays computed")
+
+    mf_probs_all = None
+    if mf is not None:
+        mf_probs_all = mf.get_probabilities_batch(query_tokens)
+        log("multi-field probabilities (batched)")
+
+    ivf = None
+    if use_ivf:
+        ivf = SimpleIVF.build(corpus_emb)
+        log(f"ivf built: {ivf.n_cells} cells")
+
+    # --- global kappa background (50 queries x up to 1000 docs) ------------
+    bg_rows = rng.choice(len(qids_list), size=min(50, len(qids_list)),
+                         replace=False)
+    bg_sample = dense_all[bg_rows][:, rng.choice(
+        len(doc_ids), size=min(1000, len(doc_ids)), replace=False)]
+    kappa_mu = float(np.mean(bg_sample))
+    kappa_sigma = max(float(np.std(bg_sample)), 1e-9)
+
+    # --- Platt pre-pass over judged docs -----------------------------------
+    platt_sims, platt_labels = [], []
+    for qi, qid in enumerate(qids_list):
+        for did, rel in ds.qrels.get(qid, {}).items():
+            if did in doc_pos:
+                platt_sims.append(dense_all[qi, doc_pos[did]])
+                platt_labels.append(1.0 if rel > 0 else 0.0)
+    platt = PlattCalibrator()
+    if len(platt_sims) >= 10 and len(set(platt_labels)) > 1:
+        platt.fit(np.asarray(platt_sims), np.asarray(platt_labels),
+                  learning_rate=0.1, max_iterations=2000)
+    log("kappa + platt calibrators ready")
+
+    # --- per-query hybrid loop ---------------------------------------------
+    runs: dict[str, dict] = {}
+
+    def add(method, qid, union_ids, fused_scores):
+        order = np.argsort(-fused_scores)
+        runs.setdefault(method, {})[qid] = [
+            doc_ids[union_ids[i]] for i in order[:max(k, 100)]
+        ]
+
+    attn_cache = []  # (qid, union_ids, signals2, vpt_signals, feat3, feat7)
+
+    for qi, qid in enumerate(qids_list):
+        bs = bm25_all[qi]
+        dsim = dense_all[qi]
+        bm25_top = np.argsort(-bs)[:R]
+        dense_top = np.argsort(-dsim)[:R]
+        union = np.union1d(bm25_top, dense_top)
+        u_bs = bs[union]
+        u_dsim = dsim[union]
+        u_probs = {key: probs_all[key][qi][union] for key in probs_all}
+        u_dense_prob = np.asarray(cosine_to_probability(u_dsim))
+
+        # Baselines
+        add("BM25", qid, union, u_bs)
+        add("Dense", qid, union, u_dsim)
+        add("Convex", qid, union, 0.5 * _minmax(u_dsim) + 0.5 * _minmax(u_bs))
+        rrf = 1.0 / (RRF_K + _rank_of(u_bs) + 1) + \
+            1.0 / (RRF_K + _rank_of(u_dsim) + 1)
+        add("RRF", qid, union, rrf)
+
+        # Boolean / log-odds fusions
+        pair = np.column_stack([u_probs["plain"], u_dense_prob])
+        add("Bayesian-OR", qid, union, np.asarray(prob_or(pair)))
+        add("Bayesian-LogOdds", qid, union,
+            np.asarray(log_odds_conjunction(pair, alpha=0.5)))
+
+        # Local per-query calibration (hybrid_beir.py:1803-1805)
+        pos_scores = u_bs[u_bs > 0]
+        if len(pos_scores) >= 2 and np.std(pos_scores) > 0:
+            local = BayesianProbabilityTransform(
+                alpha=1.0 / float(np.std(pos_scores)),
+                beta=float(np.median(pos_scores)),
+            )
+            u_local = np.where(
+                u_bs > 0,
+                np.asarray(local.likelihood(u_bs)), 0.0,
+            )
+        else:
+            u_local = u_probs["plain"]
+        add("Bayesian-LogOdds-Local", qid, union, np.asarray(
+            log_odds_conjunction(
+                np.column_stack([np.clip(u_local, 1e-10, 1), u_dense_prob]),
+                alpha=0.5,
+            )))
+
+        pair_br = np.column_stack([u_probs["auto"], u_dense_prob])
+        add("Bayesian-LogOdds-BR", qid, union,
+            np.asarray(log_odds_conjunction(pair_br, alpha=0.5)))
+
+        # Balanced family
+        for name, key in (("Bayesian-Balanced", "auto"),
+                          ("Bayesian-Balanced-Mix", "mixture"),
+                          ("Bayesian-Balanced-Elbow", "elbow")):
+            add(name, qid, union, np.asarray(
+                balanced_log_odds_fusion(
+                    np.clip(u_probs[key], 1e-10, 1 - 1e-10), u_dsim, 0.5)))
+
+        # Gated variants
+        for name, gate, beta in (
+            ("Bayesian-Gated-ReLU", "relu", 1.0),
+            ("Bayesian-Gated-Swish", "swish", 1.0),
+            ("Bayesian-Gated-GELU", "gelu", 1.0),
+            ("Bayesian-Gated-Swish-B2", "swish", 2.0),
+            ("Bayesian-Gated-Softplus", "softplus", 1.0),
+        ):
+            add(name, qid, union, np.asarray(log_odds_conjunction(
+                pair, alpha=0.5, gating=gate, gating_beta=beta)))
+
+        # Dense calibration baselines
+        add("Dense-Kappa", qid, union, np.asarray(
+            1 / (1 + np.exp(-(u_dsim - kappa_mu) / kappa_sigma))))
+        add("Dense-Arctan", qid, union, 0.5 + np.arctan(u_dsim) / np.pi)
+        add("Dense-Platt", qid, union, np.asarray(platt(u_dsim)))
+
+        # VPT: background from full dense scores (or IVF residuals)
+        if ivf is not None:
+            bg = ivf.background_distances
+        else:
+            bg = 1.0 - dsim
+        vpt = VectorProbabilityTransform.fit_background(np.asarray(bg))
+        u_dist = 1.0 - u_dsim
+        guidance = np.clip(u_probs["auto"], 0.0, 1.0)
+        vpt_probs = np.asarray(vpt.calibrate_with_sample(
+            u_dist, u_dist, weights=guidance))
+        add("VPT-BM25Weights", qid, union, vpt_probs)
+
+        if ivf is not None:
+            cell_ids = ivf.assignments[union]
+            prior = np.asarray(ivf_density_prior(
+                ivf.cell_populations[cell_ids], ivf.avg_population))
+            vpt_dp = np.asarray(vpt.calibrate_with_sample(
+                u_dist, u_dist, density_prior=prior))
+        else:
+            fallback = np.asarray(vpt._distance_density_weights(u_dist))
+            vpt_dp = np.asarray(vpt.calibrate_with_sample(
+                u_dist, u_dist, density_prior=fallback))
+        add("VPT-DensityPrior", qid, union, vpt_dp)
+
+        # Vector-calibrated fusion
+        vpt_pair = np.column_stack([
+            np.clip(u_probs["auto"], 1e-10, 1 - 1e-10),
+            np.clip(vpt_probs, 1e-10, 1 - 1e-10),
+        ])
+        add("Bayesian-Vector-Balanced", qid, union, np.asarray(
+            balanced_log_odds_fusion(vpt_pair[:, 0], 2 * vpt_pair[:, 1] - 1,
+                                     0.5)))
+        add("Bayesian-Vector-Softplus", qid, union, np.asarray(
+            log_odds_conjunction(vpt_pair, alpha=0.5, gating="softplus",
+                                 max_logit=12.0)))
+
+        # Multi-field
+        if mf is not None:
+            mf_probs = mf_probs_all[qi][union]
+            add("Bayesian-MultiField", qid, union, mf_probs)
+            add("Bayesian-MultiField-Bal", qid, union, np.asarray(
+                balanced_log_odds_fusion(
+                    np.clip(mf_probs, 1e-10, 1 - 1e-10), u_dsim,
+                    mf_bal_weight)))
+
+        # Attention feature cache
+        feat3 = _query_features_basic(query_tokens[qi], u_bs)
+        feat7 = _query_features_rich(
+            feat3, u_dsim, bm25_top[:100], dense_top[:100])
+        attn_cache.append((qid, union, pair, vpt_pair, feat3, feat7))
+
+    log(f"per-query hybrid loop done ({len(runs)} base methods)")
+
+    # --- attention training (pos = judged, neg <= pos sampled unjudged) ----
+    def collect_training(signal_index, feature_index):
+        X, y, F, qgrp = [], [], [], []
+        for row, (qid, union, pair, vpt_pair, feat3, feat7) in enumerate(
+                attn_cache):
+            judged = ds.qrels.get(qid, {})
+            pos = [i for i, u in enumerate(union)
+                   if judged.get(doc_ids[u], 0) > 0]
+            if not pos:
+                continue
+            neg_pool = [i for i, u in enumerate(union)
+                        if judged.get(doc_ids[u], 0) <= 0]
+            neg = list(rng.choice(len(neg_pool),
+                                  size=min(len(pos), len(neg_pool)),
+                                  replace=False)) if neg_pool else []
+            signals = pair if signal_index == 0 else vpt_pair
+            feats = feat3 if feature_index == 0 else feat7
+            for i in pos:
+                X.append(signals[i]); y.append(1.0); F.append(feats)
+                qgrp.append(row)
+            for j in neg:
+                X.append(signals[neg_pool[j]]); y.append(0.0); F.append(feats)
+                qgrp.append(row)
+        return (np.asarray(X), np.asarray(y), np.asarray(F),
+                np.asarray(qgrp))
+
+    def eval_attention(model, name, signal_index, feature_index,
+                       use_averaged=False):
+        for (qid, union, pair, vpt_pair, feat3, feat7) in attn_cache:
+            signals = pair if signal_index == 0 else vpt_pair
+            feats = feat3 if feature_index == 0 else feat7
+            fused = model(np.clip(signals, 1e-10, 1 - 1e-10),
+                          np.tile(feats, (len(union), 1)), use_averaged)
+            add(name, qid, union, np.atleast_1d(np.asarray(fused)))
+
+    X3, y3, F3, _ = collect_training(0, 0)
+    if len(X3) >= 10 and len(set(y3)) > 1:
+        attn = AttentionLogOddsWeights(2, 3, alpha=0.5, seed=0)
+        attn.fit(np.clip(X3, 1e-10, 1 - 1e-10), y3, F3,
+                 learning_rate=0.05, max_iterations=300)
+        eval_attention(attn, "Bayesian-Attention", 0, 0)
+
+        X7, y7, F7, qg7 = collect_training(0, 1)
+        attn_norm = AttentionLogOddsWeights(2, 7, alpha=0.5, seed=0,
+                                            normalize=True)
+        attn_norm.fit(np.clip(X7, 1e-10, 1 - 1e-10), y7, F7, query_ids=qg7,
+                      learning_rate=0.05, max_iterations=300)
+        eval_attention(attn_norm, "Bayesian-Attn-Norm", 0, 1)
+
+        # 5-fold CV variant (hybrid_beir.py:1359-1443): average fold models
+        folds = np.array_split(np.arange(len(attn_cache)), 5)
+        cv_models = []
+        for f in range(5):
+            train_rows = set(np.concatenate(
+                [folds[g] for g in range(5) if g != f]))
+            mask = np.isin(qg7, list(train_rows))
+            if mask.sum() < 10 or len(set(y7[mask])) < 2:
+                continue
+            m = AttentionLogOddsWeights(2, 7, alpha=0.5, seed=0,
+                                        normalize=True)
+            m.fit(np.clip(X7[mask], 1e-10, 1 - 1e-10), y7[mask], F7[mask],
+                  query_ids=qg7[mask], learning_rate=0.05, max_iterations=200)
+            cv_models.append((f, m))
+        if cv_models:
+            fold_of_row = {}
+            for f, rows in enumerate(folds):
+                for r in rows:
+                    fold_of_row[int(r)] = f
+            for row, (qid, union, pair, _, _, feat7) in enumerate(attn_cache):
+                f = fold_of_row.get(row, 0)
+                model = next((m for ff, m in cv_models if ff == f),
+                             cv_models[0][1])
+                fused = model(np.clip(pair, 1e-10, 1 - 1e-10),
+                              np.tile(feat7, (len(union), 1)))
+                add("Bayesian-Attn-Norm-CV", qid, union,
+                    np.atleast_1d(np.asarray(fused)))
+
+        # Multi-head (4 heads x basic / rich+norm)
+        mh = MultiHeadAttentionLogOddsWeights(4, 2, 3, alpha=0.5)
+        mh.fit(np.clip(X3, 1e-10, 1 - 1e-10), y3, F3,
+               learning_rate=0.05, max_iterations=200)
+        eval_attention(mh, "Bayesian-MultiHead", 0, 0)
+        mh_norm = MultiHeadAttentionLogOddsWeights(4, 2, 7, alpha=0.5,
+                                                   normalize=True)
+        mh_norm.fit(np.clip(X7, 1e-10, 1 - 1e-10), y7, F7,
+                    learning_rate=0.05, max_iterations=200)
+        eval_attention(mh_norm, "Bayesian-MultiHead-Norm", 0, 1)
+
+        # Vector-calibrated attention
+        Xv, yv, Fv, qgv = collect_training(1, 1)
+        if len(Xv) >= 10 and len(set(yv)) > 1:
+            vattn = AttentionLogOddsWeights(2, 7, alpha=0.5, seed=0,
+                                            normalize=True)
+            vattn.fit(np.clip(Xv, 1e-10, 1 - 1e-10), yv, Fv, query_ids=qgv,
+                      learning_rate=0.05, max_iterations=300)
+            eval_attention(vattn, "Bayesian-Vector-Attn", 1, 1)
+        log("attention / multi-head methods trained + evaluated")
+    else:
+        log("skipping attention methods: insufficient training data")
+
+    # --- supervised tuning (--tune) ----------------------------------------
+    if tune:
+        half = len(qids_list) // 2
+        train_q = set(qids_list[:half])
+        # Collect (score, label) pairs on train queries
+        tr_scores, tr_labels = [], []
+        for qi, qid in enumerate(qids_list[:half]):
+            judged = ds.qrels.get(qid, {})
+            for did, rel in judged.items():
+                if did in doc_pos:
+                    tr_scores.append(bm25_all[qi, doc_pos[did]])
+                    tr_labels.append(1.0 if rel > 0 else 0.0)
+            negs = rng.choice(len(doc_ids), size=min(50, len(doc_ids)),
+                              replace=False)
+            for d in negs:
+                if doc_ids[d] not in judged:
+                    tr_scores.append(bm25_all[qi, d])
+                    tr_labels.append(0.0)
+        tuned_t = BayesianProbabilityTransform(
+            alpha=bm25.transform.alpha, beta=bm25.transform.beta)
+        if len(tr_scores) >= 10 and len(set(tr_labels)) > 1:
+            tuned_t.fit(np.asarray(tr_scores), np.asarray(tr_labels),
+                        learning_rate=0.05, max_iterations=2000)
+
+        # Grid search on train split
+        base_rates = [None, 1e-3, 5e-3, 1e-2, 5e-2, 0.1]
+        fusion_ws = np.arange(0.0, 1.01, 0.1)
+
+        def tuned_probs(qi, union, br):
+            t = BayesianProbabilityTransform(
+                alpha=tuned_t.alpha, beta=tuned_t.beta, base_rate=br)
+            bs = bm25_all[qi][union]
+            doc_idx = union
+            dlr = np.asarray([len(corpus_tokens[d]) for d in doc_idx]) / \
+                bm25.avgdl
+            tfs = np.asarray([
+                len(set(query_tokens[qi]) & set(corpus_tokens[d]))
+                for d in doc_idx
+            ], dtype=float)
+            p = np.where(bs > 0, np.asarray(
+                t.score_to_probability(bs, tfs, dlr)), 0.0)
+            return p
+
+        def grid_eval(br, w):
+            run = {}
+            for qi, qid in enumerate(qids_list[:half]):
+                _, union, pair, _, _, _ = attn_cache[qi]
+                p = tuned_probs(qi, union, br)
+                fused = np.asarray(balanced_log_odds_fusion(
+                    np.clip(p, 1e-10, 1 - 1e-10), dense_all[qi][union], w))
+                order = np.argsort(-fused)
+                run[qid] = [doc_ids[union[i]] for i in order[:k]]
+            m = evaluate_run(run, {q: ds.qrels[q] for q in train_q
+                                   if q in ds.qrels}, k=k)
+            return m[f"ndcg@{k}"]
+
+        best = (-1.0, None, 0.5)
+        for br in base_rates:
+            for w in fusion_ws:
+                score = grid_eval(br, round(float(w), 2))
+                if score > best[0]:
+                    best = (score, br, float(w))
+        log(f"grid search best: ndcg={best[0]:.4f} br={best[1]} w={best[2]}")
+
+        for qi, qid in enumerate(qids_list):
+            _, union, pair, _, _, _ = attn_cache[qi]
+            p = tuned_probs(qi, union, best[1])
+            add("Bayesian-Balanced-Tuned", qid, union, np.asarray(
+                balanced_log_odds_fusion(np.clip(p, 1e-10, 1 - 1e-10),
+                                         dense_all[qi][union], best[2])))
+            add("Bayesian-Tuned", qid, union, p)
+            u_dense_prob = np.asarray(
+                cosine_to_probability(dense_all[qi][union]))
+            add("Bayesian-Hybrid-AND-Tuned", qid, union, np.asarray(
+                log_odds_conjunction(np.column_stack([
+                    np.clip(p, 1e-10, 1 - 1e-10), u_dense_prob]),
+                    alpha=0.5)))
+        log("tuned methods evaluated")
+
+    # --- evaluation ---------------------------------------------------------
+    results = {}
+    for method, run in sorted(runs.items()):
+        results[method] = evaluate_run(run, ds.qrels, k=k)
+    log(f"evaluated {len(results)} methods")
+    return results
+
+
+def print_results(name: str, results: dict, k: int) -> None:
+    print(f"\n=== {name} — NDCG@{k} / MAP@{k} / Recall@{k} ===")
+    for method, m in sorted(results.items(),
+                            key=lambda kv: -kv[1][f"ndcg@{k}"]):
+        print(f"  {method:<28} {m[f'ndcg@{k}']*100:6.2f}  "
+              f"{m[f'map@{k}']*100:6.2f}  {m[f'recall@{k}']*100:6.2f}")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data-dir", nargs="*", default=None,
+                    help="BEIR-format dataset directories")
+    ap.add_argument("--synthetic-docs", type=int, default=2000)
+    ap.add_argument("--synthetic-queries", type=int, default=64)
+    ap.add_argument("--dense-backend", default="auto",
+                    choices=["auto", "st", "hash"])
+    ap.add_argument("--ivf", action="store_true")
+    ap.add_argument("--ivf-nprobe", type=int, default=None)
+    ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("-R", type=int, default=1000)
+    ap.add_argument("--tune", action="store_true")
+    ap.add_argument("-o", "--output", default=None)
+    args = ap.parse_args()
+
+    datasets = []
+    if args.data_dir:
+        datasets = [load_beir_dataset(p) for p in args.data_dir]
+    else:
+        datasets = [synthetic_dataset(n_docs=args.synthetic_docs,
+                                      n_queries=args.synthetic_queries)]
+
+    all_results = {}
+    for ds in datasets:
+        print(ds.stats())
+        res = run_dataset(
+            ds, k=args.k, R=args.R, dense_backend=args.dense_backend,
+            use_ivf=args.ivf, ivf_nprobe=args.ivf_nprobe, tune=args.tune,
+        )
+        print_results(ds.name, res, args.k)
+        all_results[ds.name] = res
+
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(all_results, f, indent=2)
+        print(f"\nresults written to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

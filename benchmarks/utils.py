@@ -1,0 +1,255 @@
+"""Dataset container, loaders, synthetic IR generator, dense encoders.
+
+IRDataset mirrors the reference container (benchmarks/utils.py:17-68). In
+this environment there is no dataset/model egress, so alongside the
+BEIR-format directory loader there is a synthetic generator whose
+topic-model construction yields realistic score distributions (Zipf
+vocabulary, topical clustering, graded qrels), plus two dense encoders:
+sentence-transformers when available and a deterministic token-hashing
+encoder otherwise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# Fail fast instead of retrying network fetches when model weights are not
+# cached locally (this environment has no egress).
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
+
+@dataclass
+class IRDataset:
+    """corpus: doc_id -> text (or dict of fields); queries: qid -> text;
+    qrels: qid -> {doc_id: graded relevance}. Synthetic datasets may carry
+    planted dense embeddings (doc_emb rows align with corpus order)."""
+
+    name: str
+    corpus: dict
+    queries: dict
+    qrels: dict
+    titles: dict | None = None
+    doc_emb: np.ndarray | None = None
+    query_emb: np.ndarray | None = None
+
+    @property
+    def doc_ids(self) -> list:
+        return list(self.corpus.keys())
+
+    def stats(self) -> str:
+        return (
+            f"{self.name}: {len(self.corpus)} docs, {len(self.queries)} "
+            f"queries, {sum(len(v) for v in self.qrels.values())} judgments"
+        )
+
+
+def load_beir_dataset(path: str, split: str = "test") -> IRDataset:
+    """Load a BEIR-format directory: corpus.jsonl, queries.jsonl,
+    qrels/<split>.tsv (hybrid_beir.py:194-264 protocol, incl. title/body)."""
+    corpus = {}
+    titles = {}
+    with open(os.path.join(path, "corpus.jsonl")) as f:
+        for line in f:
+            row = json.loads(line)
+            did = str(row["_id"])
+            corpus[did] = row.get("text", "")
+            if row.get("title"):
+                titles[did] = row["title"]
+    queries = {}
+    with open(os.path.join(path, "queries.jsonl")) as f:
+        for line in f:
+            row = json.loads(line)
+            queries[str(row["_id"])] = row.get("text", "")
+    qrels: dict = {}
+    with open(os.path.join(path, "qrels", f"{split}.tsv")) as f:
+        header = f.readline()
+        if not header.lower().startswith(("query", "qid")):
+            f.seek(0)
+        for line in f:
+            parts = line.strip().split("\t")
+            if len(parts) < 3:
+                continue
+            qid, did, rel = parts[0], parts[1], int(float(parts[-1]))
+            qrels.setdefault(str(qid), {})[str(did)] = rel
+    queries = {q: t for q, t in queries.items() if q in qrels}
+    return IRDataset(
+        name=os.path.basename(path.rstrip("/")),
+        corpus=corpus, queries=queries, qrels=qrels,
+        titles=titles or None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic IR dataset: topic model with graded relevance
+# ---------------------------------------------------------------------------
+
+_TOPIC_WORDS = 40
+_SHARED_VOCAB = 1500
+
+
+def synthetic_dataset(
+    n_docs: int = 2000,
+    n_queries: int = 64,
+    n_topics: int = 25,
+    doc_len: int = 80,
+    seed: int = 7,
+    name: str = "synthetic",
+    with_titles: bool = True,
+) -> IRDataset:
+    """Generative topical corpus with graded qrels.
+
+    Each topic owns a small exclusive vocabulary; documents mix one primary
+    topic (and occasionally a secondary one) with shared Zipf background
+    words. Queries sample topical words from a topic; qrels grade docs by
+    topical affinity (2 for primary-topic docs, 1 for secondary). This
+    yields BM25/dense score distributions with the bimodal
+    relevant/background structure the calibration pipeline expects.
+    """
+    rng = np.random.default_rng(seed)
+    shared = [f"w{i}" for i in range(_SHARED_VOCAB)]
+    # Neighboring topics share a slice of vocabulary (lexical ambiguity):
+    # word j of topic t aliases word j of topic t+1 for j < overlap.
+    overlap = _TOPIC_WORDS // 4
+    topic_vocab = []
+    for t in range(n_topics):
+        own = [f"t{t}_{i}" for i in range(overlap, _TOPIC_WORDS)]
+        border = [f"b{min(t, (t + 1) % n_topics)}_{i}" for i in range(overlap)]
+        topic_vocab.append(own + border)
+
+    emb_dim = n_topics + 8
+    corpus = {}
+    titles = {}
+    doc_topic = np.zeros(n_docs, dtype=int)
+    doc_secondary = np.full(n_docs, -1, dtype=int)
+    doc_emb = np.zeros((n_docs, emb_dim), dtype=np.float32)
+    for d in range(n_docs):
+        topic = rng.integers(0, n_topics)
+        doc_topic[d] = topic
+        words = []
+        # Sparse topical signal: only a handful of topical tokens, so some
+        # relevant docs miss any given query's terms entirely.
+        n_topical = int(rng.integers(2, 10))
+        words += list(rng.choice(topic_vocab[topic], size=n_topical))
+        if rng.uniform() < 0.3:
+            sec = int(rng.integers(0, n_topics))
+            doc_secondary[d] = sec
+            words += list(rng.choice(topic_vocab[sec],
+                                     size=max(n_topical // 3, 1)))
+        n_bg = doc_len - len(words)
+        bg = rng.zipf(1.35, size=max(n_bg, 1)) % _SHARED_VOCAB
+        words += [shared[i] for i in bg]
+        rng.shuffle(words)
+        did = f"d{d}"
+        corpus[did] = " ".join(words)
+        if with_titles:
+            titles[did] = " ".join(
+                rng.choice(topic_vocab[topic], size=4)
+            )
+        # Planted topical embedding: primary + secondary topic directions
+        e = rng.normal(0, 0.35, emb_dim)
+        e[topic] += 1.0
+        if doc_secondary[d] >= 0:
+            e[doc_secondary[d]] += 0.4
+        doc_emb[d] = e / max(np.linalg.norm(e), 1e-9)
+
+    queries = {}
+    qrels: dict = {}
+    query_emb = np.zeros((n_queries, emb_dim), dtype=np.float32)
+    for q in range(n_queries):
+        topic = q % n_topics
+        # One topical word: BM25 sees only a slice of each topic's relevant
+        # docs, so the dense signal genuinely complements it.
+        qwords = list(rng.choice(topic_vocab[topic], size=1))
+        qwords.append(shared[int(rng.zipf(1.35) % _SHARED_VOCAB)])
+        if rng.uniform() < 0.5:  # distractor word from another topic
+            other = int(rng.integers(0, n_topics))
+            qwords.append(str(rng.choice(topic_vocab[other])))
+        qid = f"q{q}"
+        queries[qid] = " ".join(qwords)
+        e = rng.normal(0, 0.35, emb_dim)
+        e[topic] += 1.0
+        query_emb[q] = e / max(np.linalg.norm(e), 1e-9)
+        judged = {}
+        for d in range(n_docs):
+            if doc_topic[d] == topic:
+                judged[f"d{d}"] = 2
+            elif doc_secondary[d] == topic:
+                judged[f"d{d}"] = 1
+        if judged:
+            qrels[qid] = judged
+    return IRDataset(name=name, corpus=corpus, queries=queries, qrels=qrels,
+                     titles=titles if with_titles else None,
+                     doc_emb=doc_emb, query_emb=query_emb)
+
+
+# ---------------------------------------------------------------------------
+# Dense encoders
+# ---------------------------------------------------------------------------
+
+
+def hash_embed(texts: list[str], dim: int = 256, seed: int = 0) -> np.ndarray:
+    """Deterministic token-hashing encoder: mean of per-token signed hash
+    vectors, L2-normalized. A real (if crude) lexical-dense encoder that
+    needs no downloads — used when sentence-transformers weights are
+    unavailable. Token vectors are process-stable (crc32, not Python's
+    salted hash)."""
+    import zlib
+
+    cache: dict[str, np.ndarray] = {}
+
+    def vec(tok: str) -> np.ndarray:
+        v = cache.get(tok)
+        if v is None:
+            h = zlib.crc32(tok.encode("utf-8")) ^ (seed * 0x9E3779B9)
+            v = np.random.default_rng(h & 0xFFFFFFFF).normal(0, 1, dim)
+            cache[tok] = v
+        return v
+
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, text in enumerate(texts):
+        toks = text.lower().split()
+        if not toks:
+            continue
+        acc = np.zeros(dim, dtype=np.float64)
+        for tok in toks:
+            acc += vec(tok)
+        out[i] = acc / max(np.linalg.norm(acc), 1e-9)
+    return out
+
+
+def encode_dense(texts: list[str], backend: str = "auto",
+                 model_name: str = "all-MiniLM-L6-v2",
+                 cache_path: str | None = None, dim: int = 256) -> np.ndarray:
+    """Encode texts with the best available backend.
+
+    ``auto``: sentence-transformers when loadable (cached weights), else
+    hashing. Embeddings cache to .npz keyed by row count, mirroring the
+    reference's staleness check (hybrid_beir.py:303-371).
+    """
+    if cache_path and os.path.exists(cache_path):
+        data = np.load(cache_path)
+        if data["emb"].shape[0] == len(texts):
+            return data["emb"]
+    if backend in ("auto", "st"):
+        try:
+            from sentence_transformers import SentenceTransformer
+
+            model = SentenceTransformer(model_name)
+            emb = np.asarray(
+                model.encode(texts, convert_to_numpy=True,
+                             normalize_embeddings=True, show_progress_bar=False)
+            ).astype(np.float32)
+            if cache_path:
+                np.savez(cache_path, emb=emb)
+            return emb
+        except Exception:
+            if backend == "st":
+                raise
+    emb = hash_embed(texts, dim=dim)
+    if cache_path:
+        np.savez(cache_path, emb=emb)
+    return emb
