@@ -20,6 +20,27 @@ Architecture (TPU-first, not a port):
 Public API mirrors the reference package ``bayesian_bm25/__init__.py:11-55``.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: TPU compiles in this environment go through
+# a remote tunnel (tens of seconds each); caching them across processes is
+# the difference between interactive and unusable. Opt out with
+# BB25_DISABLE_COMPILE_CACHE=1 or by setting your own cache dir first.
+if not _os.environ.get("BB25_DISABLE_COMPILE_CACHE"):
+    try:
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/bb25_jax"),
+            )
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5
+            )
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from bayesian_bm25_tpu.models.probability import (
     BayesianProbabilityTransform,
     TemporalBayesianTransform,

@@ -1,0 +1,285 @@
+"""Frequency-split BM25 index: MXU matmul for frequent terms + compare
+kernel for the rare tail.
+
+The doc-major compare kernel (engine/scoring.py) does O(D * T * Q) VPU work
+per batch regardless of term frequency. On real corpora term frequencies
+are Zipf: the top-K vocabulary terms cover almost all per-doc unique terms
+(~88% at K=1024 on a Zipf(1.3) corpus), and almost all query terms. This
+index exploits that split:
+
+  * frequent terms -> a dense (D, K) *impact matrix* (BM25 contribution of
+    frequent-term k in doc d, 0 when absent). Scoring a query batch is
+    one (nq, K) @ (K, D) matmul — MXU work at hundreds of TFLOP/s — where
+    the query side is a scattered count vector over the frequent slots.
+  * rare terms -> the doc-major compare table, but over a ~8x narrower
+    T_tail (only each doc's rare terms), with a ~2x narrower padded query
+    width.
+
+Unique-overlap tf for the transform's prior is computed the same way: a
+presence matrix matmul for frequent terms + the tail compare's count.
+Scores and tf are exactly equal to the single-table path (tested); the
+split is a pure performance transform, like the sharding layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bayesian_bm25_tpu.engine import index as eidx
+from bayesian_bm25_tpu.engine.index import BM25Index
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class SplitBM25Index:
+    """Frequency-split device index built from a BM25Index."""
+
+    base: BM25Index
+    n_frequent: int
+    # host: term id -> frequent slot (or n_frequent if rare)
+    freq_slot_of_term: np.ndarray = field(repr=False)
+    # device: (D_pad, K) impact + presence matrices for frequent terms
+    dense_impact: jnp.ndarray = field(repr=False)
+    dense_presence: jnp.ndarray = field(repr=False)
+    # device: narrow doc-major table for rare terms
+    tail_term_ids: jnp.ndarray = field(repr=False)
+    tail_weights: jnp.ndarray = field(repr=False)
+
+    @property
+    def n_docs(self) -> int:
+        return self.base.n_docs
+
+    @property
+    def vocab(self) -> dict:
+        return self.base.vocab
+
+
+def build_split_index(
+    base: BM25Index,
+    n_frequent: int = 1024,
+    *,
+    dtype=jnp.float32,
+    tail_pad_multiple: int = 8,
+) -> SplitBM25Index:
+    """Split the doc-major table by document frequency rank."""
+    tids = np.asarray(base.term_ids)
+    w = np.asarray(base.weights)
+    D_pad, T = tids.shape
+    V = base.n_terms
+
+    K = min(_round_up(n_frequent, 128), _round_up(max(V, 1), 128))
+    order = np.argsort(-base.doc_frequencies, kind="stable")
+    freq_slot = np.full(V, K, dtype=np.int32)
+    top = order[: min(n_frequent, V)]
+    freq_slot[top] = np.arange(len(top), dtype=np.int32)
+
+    valid = tids >= 0
+    slots = np.where(valid, freq_slot[np.maximum(tids, 0)], K)
+    is_freq = slots < K
+
+    # Dense matrices (one extra overflow column K absorbs rare/pad writes).
+    # Presence is built from term membership, not weight > 0: a frequent
+    # term with idf 0 (robertson floor) still counts toward |q ∩ doc|.
+    impact = np.zeros((D_pad, K + 1), dtype=np.float32)
+    presence = np.zeros((D_pad, K + 1), dtype=np.float32)
+    rows = np.repeat(np.arange(D_pad), T).reshape(D_pad, T)
+    impact[rows, slots] = np.where(is_freq, w, 0.0)
+    presence[rows, slots] = np.where(is_freq, 1.0, 0.0)
+    impact = impact[:, :K]
+    presence = presence[:, :K]
+
+    # Tail table
+    tail_counts = (valid & ~is_freq).sum(axis=1)
+    T_tail = max(
+        _round_up(max(int(tail_counts.max()), 1), tail_pad_multiple),
+        tail_pad_multiple,
+    )
+    tail_ids = np.full((D_pad, T_tail), eidx.DOC_PAD, dtype=np.int32)
+    tail_w = np.zeros((D_pad, T_tail), dtype=np.float32)
+    sel = valid & ~is_freq
+    row_idx, _ = np.nonzero(sel)
+    # position of each rare term within its row
+    col_idx = (np.cumsum(sel, axis=1) - 1)[sel]
+    tail_ids[row_idx, col_idx] = tids[sel]
+    tail_w[row_idx, col_idx] = w[sel]
+
+    return SplitBM25Index(
+        base=base,
+        n_frequent=K,
+        freq_slot_of_term=freq_slot,
+        dense_impact=jnp.asarray(impact, dtype=dtype),
+        dense_presence=jnp.asarray(presence, dtype=dtype),
+        tail_term_ids=jnp.asarray(tail_ids),
+        tail_weights=jnp.asarray(tail_w),
+    )
+
+
+def encode_queries_split(
+    query_tokens: list, split: SplitBM25Index,
+    tail_pad_multiple: int = 4,
+    freq_pad_multiple: int = 8,
+):
+    """Queries -> (freq slot ids (nq, Qf), freq counts (nq, Qf),
+    tail qids (nq, Qt), tail qcnt (nq, Qt)).
+
+    The frequent side ships as compact slot/count lists (padded with the
+    overflow slot K) and is scattered into the dense (nq, K) query matrix
+    on device — the dense matrix never crosses the host<->device link.
+    """
+    vocab = split.vocab
+    K = split.n_frequent
+    slot_of = split.freq_slot_of_term
+    nq = len(query_tokens)
+    freq_rows: list = []
+    tail_rows: list = []
+    widest_f = 1
+    widest_t = 1
+    for tokens in query_tokens:
+        counts: dict[int, int] = {}
+        for tok in tokens:
+            tid = vocab.get(tok)
+            if tid is not None:
+                counts[tid] = counts.get(tid, 0) + 1
+        freq: list = []
+        tail: list = []
+        for tid, c in counts.items():
+            s = slot_of[tid]
+            if s < K:
+                freq.append((int(s), c))
+            else:
+                tail.append((tid, c))
+        widest_f = max(widest_f, len(freq))
+        widest_t = max(widest_t, len(tail))
+        freq_rows.append(freq)
+        tail_rows.append(tail)
+
+    Qf = _round_up(max(widest_f, 1), freq_pad_multiple)
+    fslots = np.full((nq, Qf), K, dtype=np.int32)  # K = overflow column
+    fcnt = np.zeros((nq, Qf), dtype=np.float32)
+    for i, freq in enumerate(freq_rows):
+        for j, (s, c) in enumerate(freq):
+            fslots[i, j] = s
+            fcnt[i, j] = c
+
+    Qt = _round_up(max(widest_t, 1), tail_pad_multiple)
+    qids = np.full((nq, Qt), eidx.QUERY_PAD, dtype=np.int32)
+    qcnt = np.zeros((nq, Qt), dtype=np.float32)
+    for i, tail in enumerate(tail_rows):
+        for j, (tid, c) in enumerate(tail):
+            qids[i, j] = tid
+            qcnt[i, j] = c
+    return fslots, fcnt, qids, qcnt
+
+
+def _densify_queries(fslots, fcnt, K: int):
+    """Scatter compact (slot, count) lists into dense (nq, K) matrices on
+    device; pads target the dropped overflow column K."""
+    nq = fslots.shape[0]
+    rows = jnp.arange(nq)[:, None]
+    qvec = jnp.zeros((nq, K + 1), jnp.float32).at[rows, fslots].set(fcnt)
+    qpres = jnp.zeros((nq, K + 1), jnp.float32).at[rows, fslots].set(
+        (fcnt > 0).astype(jnp.float32))
+    return qvec[:, :K], qpres[:, :K]
+
+
+@jax.jit
+def _split_score_kernel(dense_impact, dense_presence, tail_ids, tail_w,
+                        fslots, fcnt, tail_qids, tail_qcnt):
+    """scores = scatter(fslots) @ impact.T + tail compare; tf likewise."""
+    qvec, qpres = _densify_queries(fslots, fcnt, dense_impact.shape[1])
+    dt = dense_impact.dtype
+    # HIGHEST precision: TPU matmuls otherwise run bf16 passes, which
+    # perturbs scores ~4e-3 relative vs the compare path; full-precision
+    # passes cost ~nothing here (the matmul is contraction-dim bound).
+    scores = jnp.dot(qvec.astype(dt), dense_impact.T,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    tfs = jnp.dot(qpres.astype(dt), dense_presence.T,
+                  precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+
+    Q = tail_qids.shape[1]
+
+    def one(qrow, crow):
+        def body(j, carry):
+            acc, tf = carry
+            m = (tail_ids == qrow[j]).astype(jnp.float32)
+            acc = acc + crow[j] * jnp.sum(tail_w * m, axis=1)
+            tf = tf + jnp.sum(m, axis=1)
+            return acc, tf
+
+        zeros = jnp.sum(tail_w, axis=1) * 0.0
+        return jax.lax.fori_loop(0, Q, body, (zeros, zeros))
+
+    t_scores, t_tfs = jax.lax.map(
+        lambda args: one(*args), (tail_qids, tail_qcnt),
+        batch_size=min(16, tail_qids.shape[0]),
+    )
+    return scores + t_scores, tfs + t_tfs
+
+
+def score_all_split(split: SplitBM25Index, fslots, fcnt, tail_qids, tail_qcnt):
+    """(nq, D_pad) scores and unique-overlap tf counts."""
+    return _split_score_kernel(
+        split.dense_impact, split.dense_presence,
+        split.tail_term_ids, split.tail_weights,
+        jnp.asarray(fslots), jnp.asarray(fcnt),
+        jnp.asarray(tail_qids), jnp.asarray(tail_qcnt),
+    )
+
+
+@partial(jax.jit, static_argnames=("n_docs", "prior_free"))
+def probabilities_all_split(
+    dense_impact, dense_presence, tail_ids, tail_w, doc_lengths, avgdl,
+    fslots, fcnt, tail_qids, tail_qcnt,
+    alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
+):
+    """Dense calibrated probabilities (nq, n_docs) via the split path."""
+    from bayesian_bm25_tpu.ops import transform as T
+
+    scores, tfs = _split_score_kernel(
+        dense_impact, dense_presence, tail_ids, tail_w,
+        fslots, fcnt, tail_qids, tail_qcnt,
+    )
+    scores = scores[:, :n_docs]
+    tfs = tfs[:, :n_docs]
+    dlr = (doc_lengths[:n_docs] / avgdl)[None, :]
+    probs = T.score_to_probability(
+        scores, tfs, dlr, alpha, beta, base_rate, prior_free=prior_free
+    )
+    return jnp.where(scores > 0, probs.astype(scores.dtype), 0.0)
+
+
+@partial(jax.jit, static_argnames=("k", "n_docs", "prior_free"))
+def retrieve_topk_split(
+    dense_impact, dense_presence, tail_ids, tail_w, doc_lengths, avgdl,
+    fslots, fcnt, tail_qids, tail_qcnt, k: int,
+    alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
+):
+    """Fused split scoring -> top-k -> Bayesian transform (hot path)."""
+    from bayesian_bm25_tpu.ops import transform as T
+
+    scores, tfs = _split_score_kernel(
+        dense_impact, dense_presence, tail_ids, tail_w,
+        fslots, fcnt, tail_qids, tail_qcnt,
+    )
+    scores = scores[:, :n_docs]
+    tfs = tfs[:, :n_docs]
+    top_scores, top_ids = jax.lax.top_k(scores, k)
+    top_tfs = jnp.take_along_axis(tfs, top_ids, axis=1)
+    top_dlr = doc_lengths[top_ids] / avgdl
+    probs = T.score_to_probability(
+        top_scores, top_tfs, top_dlr, alpha, beta, base_rate,
+        prior_free=prior_free,
+    )
+    probs = jnp.where(top_scores > 0, probs.astype(top_scores.dtype), 0.0)
+    return top_ids, probs, top_scores, top_tfs

@@ -113,8 +113,25 @@ class BayesianBM25Scorer:
         self._user_base_rate = base_rate
         self._base_rate_method = base_rate_method
         self._index: eidx.BM25Index | None = None
+        self._split = None  # frequency-split accelerator (engine/split_index)
         self._transform: BayesianProbabilityTransform | None = None
         self._corpus_tokens: list[list[str]] | None = None
+
+    # Split index is built when its dense matrices stay under this budget
+    # (K columns x D rows x 4 B x 2 matrices); beyond it the doc-major
+    # compare path alone is the memory-sane choice.
+    _SPLIT_BUDGET_BYTES = 1 << 30
+
+    def _maybe_build_split(self) -> None:
+        from bayesian_bm25_tpu.engine import split_index as sidx
+
+        idx = self._index
+        D_pad = idx.term_ids.shape[0]
+        K = min(1024, ((max(idx.n_terms, 1) + 127) // 128) * 128)
+        if D_pad * K * 4 * 2 <= self._SPLIT_BUDGET_BYTES and idx.n_terms > 256:
+            self._split = sidx.build_split_index(idx, n_frequent=K)
+        else:
+            self._split = None
 
     # -- properties ----------------------------------------------------------
 
@@ -170,6 +187,7 @@ class BayesianBM25Scorer:
         self._index = eidx.build_index(
             corpus_tokens, k1=self._k1, b=self._b, method=self._method
         )
+        self._maybe_build_split()
 
         per_query_scores = self._sample_pseudo_query_scores(corpus_tokens)
         alpha, beta = self._estimate_parameters(per_query_scores)
@@ -216,6 +234,7 @@ class BayesianBM25Scorer:
                 known=dict(zip((int(i) for i in sample), sampled_tokens)),
             )
         self._corpus_tokens = corpus_tokens
+        self._maybe_build_split()
         per_query_scores = self._sample_pseudo_query_scores(corpus_tokens)
         alpha, beta = self._estimate_parameters(per_query_scores)
         base_rate: float | None = None
@@ -349,11 +368,17 @@ class BayesianBM25Scorer:
         """Raw BM25 scores for every document, batched: (nq, num_docs)."""
         if self._index is None:
             raise RuntimeError("Call index() before scoring.")
-        qids, qcnt = self._encode(query_tokens_batch)
-        scores, _ = scoring.score_all(
-            self._index.term_ids, self._index.weights, qids, qcnt,
-            use_pallas=_use_pallas(),
-        )
+        if self._split is not None:
+            from bayesian_bm25_tpu.engine import split_index as sidx
+
+            enc = sidx.encode_queries_split(query_tokens_batch, self._split)
+            scores, _ = sidx.score_all_split(self._split, *enc)
+        else:
+            qids, qcnt = self._encode(query_tokens_batch)
+            scores, _ = scoring.score_all(
+                self._index.term_ids, self._index.weights, qids, qcnt,
+                use_pallas=_use_pallas(),
+            )
         return np.asarray(scores)[:, : self._index.n_docs].astype(np.float64)
 
     def get_scores(self, query_tokens: list[str]) -> np.ndarray:
@@ -378,15 +403,29 @@ class BayesianBM25Scorer:
             raise RuntimeError("Call index() before retrieve().")
         idx = self._index
         k_eff = min(k, idx.n_docs)
-        qids, qcnt = self._encode(query_tokens)
         t = self._transform
-        top_ids, probs, top_scores, top_tfs = scoring.retrieve_topk(
-            idx.term_ids, idx.weights, idx.doc_lengths, idx.avgdl,
-            qids, qcnt, k_eff, t.alpha, t.beta, t.base_rate,
-            n_docs=idx.n_docs,
-            prior_free=t._training_mode == "prior_free",
-            use_pallas=_use_pallas(),
-        )
+        if self._split is not None:
+            from bayesian_bm25_tpu.engine import split_index as sidx
+
+            s = self._split
+            fslots, fcnt, tqids, tqcnt = sidx.encode_queries_split(
+                query_tokens, s)
+            top_ids, probs, top_scores, top_tfs = sidx.retrieve_topk_split(
+                s.dense_impact, s.dense_presence, s.tail_term_ids,
+                s.tail_weights, idx.doc_lengths, idx.avgdl,
+                fslots, fcnt, tqids, tqcnt, k_eff,
+                t.alpha, t.beta, t.base_rate, n_docs=idx.n_docs,
+                prior_free=t._training_mode == "prior_free",
+            )
+        else:
+            qids, qcnt = self._encode(query_tokens)
+            top_ids, probs, top_scores, top_tfs = scoring.retrieve_topk(
+                idx.term_ids, idx.weights, idx.doc_lengths, idx.avgdl,
+                qids, qcnt, k_eff, t.alpha, t.beta, t.base_rate,
+                n_docs=idx.n_docs,
+                prior_free=t._training_mode == "prior_free",
+                use_pallas=_use_pallas(),
+            )
         doc_ids = np.asarray(top_ids)
         probabilities = np.asarray(probs).astype(np.float64)
 
@@ -431,8 +470,20 @@ class BayesianBM25Scorer:
         if self._transform is None:
             raise RuntimeError("Call index() before get_probabilities().")
         idx = self._index
-        qids, qcnt = self._encode(query_tokens_batch)
         t = self._transform
+        if self._split is not None:
+            from bayesian_bm25_tpu.engine import split_index as sidx
+
+            s = self._split
+            enc = sidx.encode_queries_split(query_tokens_batch, s)
+            probs = sidx.probabilities_all_split(
+                s.dense_impact, s.dense_presence, s.tail_term_ids,
+                s.tail_weights, idx.doc_lengths, idx.avgdl, *enc,
+                t.alpha, t.beta, t.base_rate, n_docs=idx.n_docs,
+                prior_free=t._training_mode == "prior_free",
+            )
+            return np.asarray(probs).astype(np.float64)
+        qids, qcnt = self._encode(query_tokens_batch)
         probs, _, _ = scoring.probabilities_all(
             idx.term_ids, idx.weights, idx.doc_lengths, idx.avgdl,
             qids, qcnt, t.alpha, t.beta, t.base_rate,

@@ -1,0 +1,106 @@
+"""Frequency-split index: exact score/tf parity with the single-table path.
+
+The split (MXU matmul for frequent terms + narrow compare tail) must be a
+pure performance transform — scores and tf counts equal the doc-major
+compare path on every query."""
+
+import numpy as np
+import pytest
+
+from bayesian_bm25_tpu.engine import index as eidx, scoring
+from bayesian_bm25_tpu.engine import split_index as sidx
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    V, D, L = 800, 300, 60
+    corpus = [[f"t{t}" for t in rng.zipf(1.4, size=L) % V] for _ in range(D)]
+    idx = eidx.build_index(corpus, doc_pad_multiple=8, pad_multiple=8)
+    queries = [
+        [f"t{t}" for t in rng.zipf(1.4, size=6) % V] for _ in range(24)
+    ] + [["t1", "t1", "t2"], [f"t{V-1}"], [], ["zzz-oov"]]
+    return idx, queries
+
+
+class TestSplitParity:
+    @pytest.mark.parametrize("n_frequent", [128, 256, 100000])
+    def test_scores_and_tfs_match(self, setup, n_frequent):
+        idx, queries = setup
+        split = sidx.build_split_index(idx, n_frequent=n_frequent)
+        qids, qcnt = eidx.encode_queries(queries, idx.vocab)
+        s_old, t_old = scoring.score_all_xla(idx.term_ids, idx.weights,
+                                             qids, qcnt)
+        enc = sidx.encode_queries_split(queries, split)
+        s_new, t_new = sidx.score_all_split(split, *enc)
+        np.testing.assert_allclose(
+            np.asarray(s_new), np.asarray(s_old), rtol=2e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(t_new), np.asarray(t_old))
+
+    def test_retrieve_matches(self, setup):
+        idx, queries = setup
+        split = sidx.build_split_index(idx, n_frequent=256)
+        qids, qcnt = eidx.encode_queries(queries, idx.vocab)
+        old = scoring.retrieve_topk(
+            idx.term_ids, idx.weights, idx.doc_lengths, idx.avgdl,
+            qids, qcnt, 5, 1.0, 2.0, 0.05, n_docs=idx.n_docs)
+        enc = sidx.encode_queries_split(queries, split)
+        new = sidx.retrieve_topk_split(
+            split.dense_impact, split.dense_presence, split.tail_term_ids,
+            split.tail_weights, idx.doc_lengths, idx.avgdl, *enc, 5,
+            1.0, 2.0, 0.05, n_docs=idx.n_docs)
+        np.testing.assert_allclose(
+            np.asarray(new[2]), np.asarray(old[2]), rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(new[1]), np.asarray(old[1]), rtol=2e-4, atol=1e-5)
+
+    def test_probabilities_all_matches(self, setup):
+        idx, queries = setup
+        split = sidx.build_split_index(idx, n_frequent=256)
+        qids, qcnt = eidx.encode_queries(queries, idx.vocab)
+        p_old, _, _ = scoring.probabilities_all(
+            idx.term_ids, idx.weights, idx.doc_lengths, idx.avgdl,
+            qids, qcnt, 1.0, 2.0, 0.05, n_docs=idx.n_docs)
+        enc = sidx.encode_queries_split(queries, split)
+        p_new = sidx.probabilities_all_split(
+            split.dense_impact, split.dense_presence, split.tail_term_ids,
+            split.tail_weights, idx.doc_lengths, idx.avgdl, *enc,
+            1.0, 2.0, 0.05, n_docs=idx.n_docs)
+        np.testing.assert_allclose(
+            np.asarray(p_new), np.asarray(p_old), rtol=2e-4, atol=1e-6)
+
+    def test_idf_zero_frequent_term_counts_in_tf(self, setup):
+        """A frequent term with weight 0 still counts toward |q ∩ doc|."""
+        corpus = [["common", f"u{i}"] for i in range(20)]
+        idx = eidx.build_index(corpus, doc_pad_multiple=8, pad_multiple=8,
+                               method="robertson")  # idf('common') floors to 0
+        split = sidx.build_split_index(idx, n_frequent=128)
+        enc = sidx.encode_queries_split([["common", "u3"]], split)
+        s, t = sidx.score_all_split(split, *enc)
+        tf = np.asarray(t)[0]
+        assert tf[3] == 2.0  # both terms present
+        assert tf[0] == 1.0  # only 'common'
+
+
+class TestScorerUsesSplit:
+    def test_scorer_split_consistency(self):
+        from bayesian_bm25_tpu import BayesianBM25Scorer
+
+        rng = np.random.default_rng(1)
+        corpus = [[f"t{t}" for t in rng.zipf(1.4, size=40) % 600]
+                  for _ in range(200)]
+        s = BayesianBM25Scorer(base_rate=0.05)
+        s.index(corpus, show_progress=False)
+        assert s._split is not None  # 600 terms > 256 threshold
+        queries = [corpus[3][:4], ["t1"]]
+        ids, probs = s.retrieve(queries, k=5)
+        # compare against the non-split path
+        s._split = None
+        ids2, probs2 = s.retrieve(queries, k=5)
+        np.testing.assert_allclose(probs, probs2, rtol=2e-4, atol=1e-6)
+        dense1 = None
+        s._maybe_build_split()
+        dense1 = s.get_probabilities_batch(queries)
+        s._split = None
+        dense2 = s.get_probabilities_batch(queries)
+        np.testing.assert_allclose(dense1, dense2, rtol=2e-4, atol=1e-6)
