@@ -21,7 +21,9 @@ def make_corpus(rng, n_docs=50_000, doc_len=150, vocab=30_000):
     return [[f"t{t}" for t in row] for row in zipf]
 
 
-def make_queries(rng, n=512, qlen=8, vocab=30_000):
+def make_queries(rng, n=4096, qlen=8, vocab=30_000):
+    # 4096-query batches amortize host<->device round trips — the batched
+    # serving regime this engine targets.
     return [[f"t{t}" for t in rng.zipf(1.3, size=qlen) % vocab] for _ in range(n)]
 
 
