@@ -342,6 +342,19 @@ def run_dataset(
     log(f"per-query hybrid loop done ({len(runs)} base methods)")
 
     # --- attention training (pos = judged, neg <= pos sampled unjudged) ----
+    # Standardize query features: the raw features mix scales (log counts,
+    # ratios, similarities), which slows/underfits the linear-softmax map.
+    feat3_all = np.stack([c[4] for c in attn_cache])
+    feat7_all = np.stack([c[5] for c in attn_cache])
+
+    def make_standardizer(feats):
+        mu = feats.mean(axis=0)
+        sd = np.maximum(feats.std(axis=0), 1e-6)
+        return lambda f: (f - mu) / sd
+
+    std3 = make_standardizer(feat3_all)
+    std7 = make_standardizer(feat7_all)
+
     def collect_training(signal_index, feature_index):
         X, y, F, qgrp = [], [], [], []
         for row, (qid, union, pair, vpt_pair, feat3, feat7) in enumerate(
@@ -357,7 +370,7 @@ def run_dataset(
                                   size=min(len(pos), len(neg_pool)),
                                   replace=False)) if neg_pool else []
             signals = pair if signal_index == 0 else vpt_pair
-            feats = feat3 if feature_index == 0 else feat7
+            feats = (std3(feat3) if feature_index == 0 else std7(feat7))
             for i in pos:
                 X.append(signals[i]); y.append(1.0); F.append(feats)
                 qgrp.append(row)
@@ -371,7 +384,7 @@ def run_dataset(
                        use_averaged=False):
         for (qid, union, pair, vpt_pair, feat3, feat7) in attn_cache:
             signals = pair if signal_index == 0 else vpt_pair
-            feats = feat3 if feature_index == 0 else feat7
+            feats = (std3(feat3) if feature_index == 0 else std7(feat7))
             fused = model(np.clip(signals, 1e-10, 1 - 1e-10),
                           np.tile(feats, (len(union), 1)), use_averaged)
             add(name, qid, union, np.atleast_1d(np.asarray(fused)))
@@ -414,7 +427,7 @@ def run_dataset(
                 model = next((m for ff, m in cv_models if ff == f),
                              cv_models[0][1])
                 fused = model(np.clip(pair, 1e-10, 1 - 1e-10),
-                              np.tile(feat7, (len(union), 1)))
+                              np.tile(std7(feat7), (len(union), 1)))
                 add("Bayesian-Attn-Norm-CV", qid, union,
                     np.atleast_1d(np.asarray(fused)))
 

@@ -1,0 +1,114 @@
+"""Additional scorer coverage: serialization, explain with the split path,
+index_texts equivalence, lucene/atire variants end-to-end."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from bayesian_bm25_tpu import BayesianBM25Scorer
+from bayesian_bm25_tpu.models.scorer import RetrievalResult
+
+
+@pytest.fixture(scope="module")
+def big_corpus():
+    rng = np.random.default_rng(0)
+    return [[f"t{t}" for t in rng.zipf(1.4, size=40) % 600]
+            for _ in range(300)]
+
+
+class TestScorerPickle:
+    def test_round_trip_preserves_results(self, big_corpus):
+        s = BayesianBM25Scorer(base_rate=0.02)
+        s.index(big_corpus, show_progress=False)
+        blob = pickle.dumps(s)
+        s2 = pickle.loads(blob)
+        q = [big_corpus[5][:4]]
+        np.testing.assert_allclose(
+            s2.retrieve(q, k=5)[1], s.retrieve(q, k=5)[1], rtol=1e-6)
+        np.testing.assert_allclose(
+            s2.get_probabilities(q[0]), s.get_probabilities(q[0]), rtol=1e-6)
+
+
+class TestExplainWithSplit:
+    def test_traces_match_probabilities(self, big_corpus):
+        s = BayesianBM25Scorer(base_rate=0.05)
+        s.index(big_corpus, show_progress=False)
+        assert s._split is not None
+        res = s.retrieve([big_corpus[7][:5]], k=6, explain=True)
+        assert isinstance(res, RetrievalResult)
+        for r in range(res.doc_ids.shape[1]):
+            p = res.probabilities[0, r]
+            trace = res.explanations[0][r]
+            if p > 0:
+                assert trace is not None
+                assert trace.posterior == pytest.approx(p, rel=2e-4)
+
+
+class TestIndexTexts:
+    def test_equivalent_to_tokens_path(self):
+        texts = [
+            "machine learning models require training data",
+            "deep learning uses neural networks with many layers",
+            "the cat sat on the warm mat quietly",
+            "neural networks learn hierarchical representations",
+        ] * 5
+        from bayesian_bm25_tpu.engine.tokenize import tokenize_texts
+
+        s1 = BayesianBM25Scorer()
+        s1.index_texts(texts)
+        s2 = BayesianBM25Scorer()
+        s2.index(tokenize_texts(texts), show_progress=False)
+        assert s1.num_docs == s2.num_docs
+        assert s1.transform.alpha == pytest.approx(s2.transform.alpha, rel=1e-6)
+        q = tokenize_texts(["neural networks learning"])[0]
+        np.testing.assert_allclose(
+            s1.get_probabilities(q), s2.get_probabilities(q), rtol=1e-6)
+
+    def test_add_documents_after_index_texts(self):
+        s = BayesianBM25Scorer()
+        s.index_texts(["alpha beta gamma", "delta epsilon zeta"])
+        s.add_documents([["quantum", "qubit"]], show_progress=False)
+        assert s.num_docs == 3
+        ids, probs = s.retrieve([["quantum"]], k=1)
+        assert ids[0, 0] == 2
+
+
+class TestVariantsEndToEnd:
+    @pytest.mark.parametrize("method", ["robertson", "lucene", "atire"])
+    def test_ranking_sane_per_variant(self, big_corpus, method):
+        s = BayesianBM25Scorer(method=method)
+        s.index(big_corpus, show_progress=False)
+        q = big_corpus[11][:5]
+        ids, probs = s.retrieve([q], k=5)
+        # the source document should rank at/near the top
+        assert 11 in ids[0][:3]
+
+    def test_variant_scores_differ(self, big_corpus):
+        q = [big_corpus[3][:4]]
+        outs = {}
+        for method in ("robertson", "lucene", "atire"):
+            s = BayesianBM25Scorer(method=method, alpha=1.0, beta=0.0)
+            s.index(big_corpus, show_progress=False)
+            outs[method] = s.get_scores_batch(q)[0]
+        assert not np.allclose(outs["robertson"], outs["lucene"])
+        assert not np.allclose(outs["lucene"], outs["atire"])
+
+
+class TestQueryBatchShapes:
+    def test_many_batch_sizes_consistent(self, big_corpus):
+        s = BayesianBM25Scorer()
+        s.index(big_corpus, show_progress=False)
+        q = big_corpus[2][:4]
+        single = s.get_probabilities(q)
+        for n in (2, 5, 17):
+            batch = s.get_probabilities_batch([q] * n)
+            for row in batch:
+                np.testing.assert_allclose(row, single, rtol=1e-6)
+
+    def test_long_query_truncation_safe(self, big_corpus):
+        s = BayesianBM25Scorer()
+        s.index(big_corpus, show_progress=False)
+        long_q = [t for doc in big_corpus[:5] for t in doc]  # 200 tokens
+        ids, probs = s.retrieve([long_q], k=3)
+        assert np.all(probs >= 0)
