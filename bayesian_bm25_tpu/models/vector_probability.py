@@ -35,6 +35,24 @@ _gmm_jit = jax.jit(dens.gmm_fixed_background, static_argnames=("max_iter",))
 _gaussian_jit = jax.jit(dens.gaussian_pdf)
 
 
+def _bucket(n: int, minimum: int = 64) -> int:
+    """Next power-of-two bucket — bounds the number of compiled shapes for
+    the per-query calibration kernels (union sizes vary per query)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_to(arr, size, value=0.0):
+    pad = size - len(arr)
+    if pad <= 0:
+        return np.asarray(arr, dtype=np.float64)
+    return np.concatenate([
+        np.asarray(arr, dtype=np.float64), np.full(pad, value)
+    ])
+
+
 class VectorProbabilityTransform:
     """Calibrates vector distances into probabilities (Theorem 3.1.1).
 
@@ -113,8 +131,15 @@ class VectorProbabilityTransform:
         d = np.asarray(distances, dtype=np.float64)
         w = np.asarray(weights, dtype=np.float64)
         e = d if eval_points is None else np.asarray(eval_points, np.float64)
-        h = float(_np(dens.silverman_bandwidth(d, w))) * bandwidth_factor
-        return _np(_kde_jit(e, d, w, h))
+        # Shape-bucketed padding: zero-weight samples are exact no-ops for
+        # both the weighted bandwidth and the KDE sum; padded eval points
+        # are sliced off.
+        n_e, n_d = len(e), len(d)
+        d_p = _pad_to(d, _bucket(n_d), value=0.0)
+        w_p = _pad_to(w, _bucket(n_d), value=0.0)
+        e_p = _pad_to(e, _bucket(n_e), value=0.0)
+        h = float(_np(dens.silverman_bandwidth(d_p, w_p))) * bandwidth_factor
+        return _np(_kde_jit(e_p, d_p, w_p, h))[:n_e]
 
     @on_host
     def estimate_gmm(self, distances, weights=None, *, max_iter: int = 100,
@@ -143,11 +168,15 @@ class VectorProbabilityTransform:
         if sigma_R < _EPS:
             sigma_R = self.sigma_G * 0.5
 
+        n_d, n_e = len(d), len(e)
+        d_p = _pad_to(d, _bucket(n_d), value=self.mu_G)
+        mask = _pad_to(np.ones(n_d), _bucket(n_d), value=0.0)
+        e_p = _pad_to(e, _bucket(n_e), value=0.0)
         mu_R, sigma_R, _ = _gmm_jit(
-            d, self.mu_G, self.sigma_G, mu_R, sigma_R, pi_R,
-            max_iter=max_iter, tol=tol,
+            d_p, self.mu_G, self.sigma_G, mu_R, sigma_R, pi_R,
+            max_iter=max_iter, tol=tol, mask=mask,
         )
-        f_R = _np(_gaussian_jit(e, float(mu_R), float(sigma_R)))
+        f_R = _np(_gaussian_jit(e_p, float(mu_R), float(sigma_R)))[:n_e]
         return np.maximum(f_R, _EPS)
 
     # -- routing (Strategy 4.6.1 / vector_probability.py:442-535) -------------

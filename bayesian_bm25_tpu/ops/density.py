@@ -70,16 +70,21 @@ class GMMState(NamedTuple):
 
 def gmm_fixed_background(
     distances, mu_G, sigma_G, mu_R0, sigma_R0, pi_R0,
-    *, max_iter: int = 100, tol: float = 1e-6,
+    *, max_iter: int = 100, tol: float = 1e-6, mask=None,
 ):
     """Two-component GMM-EM with the background (G) component frozen;
     only (mu_R, sigma_R, pi_R) update (vector_probability.py:396-428).
+
+    ``mask`` (0/1 per sample) supports shape-bucketed padding: masked-out
+    points contribute nothing to the E/M sums and the sample count, so a
+    padded call matches the unpadded one exactly.
 
     Returns the fitted (mu_R, sigma_R, pi_R).
     """
     d = as_float(distances)
     eps = epsilon(d.dtype)
-    n = d.shape[0]
+    m = jnp.ones_like(d) if mask is None else as_float(mask)
+    n = jnp.sum(m)
     f_G_fixed = gaussian_pdf(d, mu_G, sigma_G)
 
     def cond(s: GMMState):
@@ -89,8 +94,8 @@ def gmm_fixed_background(
         f_R = s.pi_R * gaussian_pdf(d, s.mu_R, s.sigma_R)
         f_G = (1.0 - s.pi_R) * f_G_fixed
         total = jnp.maximum(f_R + f_G, eps)
-        gamma = f_R / total
-        ll = jnp.sum(jnp.log(total))
+        gamma = (f_R / total) * m
+        ll = jnp.sum(jnp.log(total) * m)
         converged = jnp.abs(ll - s.prev_ll) < tol
 
         gsum = jnp.sum(gamma)
