@@ -123,6 +123,77 @@ def corpus_stats_psum(mesh: Mesh, doc_lengths, term_ids, n_terms: int):
     return body(doc_lengths, term_ids)
 
 
+def shard_split_index_arrays(mesh: Mesh, split):
+    """Place a SplitBM25Index's device arrays doc-sharded over the mesh."""
+    doc_sharded = NamedSharding(mesh, P("d", None))
+    return (
+        jax.device_put(split.dense_impact, doc_sharded),
+        jax.device_put(split.dense_presence, doc_sharded),
+        jax.device_put(split.tail_term_ids, doc_sharded),
+        jax.device_put(split.tail_weights, doc_sharded),
+    )
+
+
+def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
+                                tail_ids, tail_w, doc_lengths, avgdl,
+                                fslots, fcnt, tail_qids, tail_qcnt, k: int,
+                                alpha, beta, base_rate=None):
+    """Distributed top-k over the frequency-split index.
+
+    The frequent-term matmul shards trivially over the doc axis (each shard
+    multiplies the replicated query matrix against its slab); the tail
+    compare and top-k merge follow the same per-shard + all_gather pattern
+    as sharded_retrieve_topk.
+    """
+    from bayesian_bm25_tpu.engine.split_index import _densify_queries
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
+                  P("d"), P(None, None), P(None, None), P(None, None),
+                  P(None, None)),
+        out_specs=(P(None, None), P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    def body(imp, pres, tids, tw, dl, fs, fc, tqi, tqc):
+        qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
+        dt = imp.dtype
+        scores = jnp.dot(qvec.astype(dt), imp.T,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        tfs = jnp.dot(qpres.astype(dt), pres.T,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+        t_scores, t_tfs = _local_score(tids, tw, tqi, tqc)
+        scores = scores + t_scores
+        tfs = tfs + t_tfs
+
+        local_k = min(k, tids.shape[0])
+        top_s, top_local = jax.lax.top_k(scores, local_k)
+        offset = jax.lax.axis_index("d") * tids.shape[0]
+        top_global = top_local + offset
+        top_tf = jnp.take_along_axis(tfs, top_local, axis=1)
+        top_dl = dl[top_local]
+        cand_s = jax.lax.all_gather(top_s, "d", axis=1, tiled=True)
+        cand_id = jax.lax.all_gather(top_global, "d", axis=1, tiled=True)
+        cand_tf = jax.lax.all_gather(top_tf, "d", axis=1, tiled=True)
+        cand_dl = jax.lax.all_gather(top_dl, "d", axis=1, tiled=True)
+        merge_s, merge_pos = jax.lax.top_k(cand_s, k)
+        ids = jnp.take_along_axis(cand_id, merge_pos, axis=1)
+        tfs_m = jnp.take_along_axis(cand_tf, merge_pos, axis=1)
+        dl_m = jnp.take_along_axis(cand_dl, merge_pos, axis=1)
+        probs = T.score_to_probability(
+            merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate
+        )
+        probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
+        return ids, probs, merge_s
+
+    return body(dense_impact, dense_presence, tail_ids, tail_w, doc_lengths,
+                jnp.asarray(fslots), jnp.asarray(fcnt),
+                jnp.asarray(tail_qids), jnp.asarray(tail_qcnt))
+
+
 def sharded_train_step(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,
                        qids, qcnt, labels, alpha, beta,
                        learning_rate: float = 0.01):

@@ -123,3 +123,40 @@ class TestShardedTraining:
         expected_b1 = 2.0 - 0.1 * float(g[1])
         assert float(a1) == pytest.approx(expected_a1, rel=1e-5)
         assert float(b1) == pytest.approx(expected_b1, rel=1e-5)
+
+
+class TestShardedSplit:
+    def test_split_sharded_matches_single_device(self, setup):
+        from bayesian_bm25_tpu.engine import split_index as sidx
+
+        idx, qids, qcnt = setup
+        # rebuild queries from the fixture's encoding is lossy; use raw ids
+        split = sidx.build_split_index(idx, n_frequent=128)
+        # re-encode from token lists reconstructed from the vocab
+        inv = {v: k for k, v in idx.vocab.items()}
+        queries = []
+        for row, cnts in zip(np.asarray(qids), np.asarray(qcnt)):
+            toks = []
+            for tid, c in zip(row, cnts):
+                if tid >= 0:
+                    toks.extend([inv[int(tid)]] * int(c))
+            queries.append(toks)
+        enc = sidx.encode_queries_split(queries, split)
+
+        single = sidx.retrieve_topk_split(
+            split.dense_impact, split.dense_presence, split.tail_term_ids,
+            split.tail_weights, idx.doc_lengths, idx.avgdl, *enc, 5,
+            1.0, 2.0, 0.05, n_docs=idx.n_docs)
+
+        mesh = sharded.make_mesh()
+        imp, pres, tids_s, tw = sharded.shard_split_index_arrays(mesh, split)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dl = jax.device_put(idx.doc_lengths, NamedSharding(mesh, P("d")))
+        ids_s, probs_s, scores_s = sharded.sharded_retrieve_topk_split(
+            mesh, imp, pres, tids_s, tw, dl, idx.avgdl, *enc, 5,
+            1.0, 2.0, 0.05)
+        np.testing.assert_allclose(
+            np.asarray(scores_s), np.asarray(single[2]), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(probs_s), np.asarray(single[1]), rtol=1e-5)
