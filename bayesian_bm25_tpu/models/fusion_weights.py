@@ -18,9 +18,6 @@ from bayesian_bm25_tpu.ops import gd
 from bayesian_bm25_tpu.ops.fusion import resolve_alpha
 from bayesian_bm25_tpu.ops.mathx import clamp_probability, logit as _logit, sigmoid as _sigmoid
 
-_logit_np = lambda p: np.asarray(_logit(p))  # noqa: E731
-
-
 def _check_base_rate(base_rate):
     if base_rate is not None and not (0.0 < base_rate < 1.0):
         raise ValueError(f"base_rate must be in (0, 1), got {base_rate}")

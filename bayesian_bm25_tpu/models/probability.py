@@ -14,7 +14,6 @@ import numpy as np
 from bayesian_bm25_tpu.ops.placement import on_host
 
 from bayesian_bm25_tpu.ops import transform as T
-from bayesian_bm25_tpu.ops.mathx import ALPHA_MIN  # noqa: F401 (re-export)
 
 _VALID_MODES = ("balanced", "prior_aware", "prior_free")
 

@@ -15,8 +15,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-import jax
-
 from bayesian_bm25_tpu.engine import index as eidx
 from bayesian_bm25_tpu.engine import scoring
 from bayesian_bm25_tpu.models.probability import BayesianProbabilityTransform

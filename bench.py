@@ -28,9 +28,6 @@ def make_queries(rng, n=4096, qlen=8, vocab=30_000):
 
 
 def bench_tpu(corpus, queries, k=10, reps=5):
-    import jax
-    import jax.numpy as jnp
-
     from bayesian_bm25_tpu import BayesianBM25Scorer
 
     scorer = BayesianBM25Scorer(base_rate=0.01)

@@ -31,7 +31,6 @@ sys.path.insert(0, ".")
 from bayesian_bm25_tpu import (  # noqa: E402
     AttentionLogOddsWeights,
     BayesianBM25Scorer,
-    LearnableLogOddsWeights,
     MultiFieldScorer,
     MultiHeadAttentionLogOddsWeights,
     PlattCalibrator,

@@ -1,0 +1,133 @@
+"""Benchmark-layer tests: IR metrics, BEIR loader, synthetic generator,
+and a tiny end-to-end hybrid harness run."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks.metrics import (  # noqa: E402
+    average_precision_at_k,
+    dcg_at_k,
+    evaluate_run,
+    ndcg_at_k,
+    precision_at_k,
+    recall_at_k,
+)
+from benchmarks.utils import (  # noqa: E402
+    hash_embed,
+    load_beir_dataset,
+    synthetic_dataset,
+)
+
+
+class TestIRMetrics:
+    def test_dcg(self):
+        # rel [3, 2, 0]: 3/log2(2) + 2/log2(3) + 0
+        assert dcg_at_k([3, 2, 0], 3) == pytest.approx(3 + 2 / np.log2(3))
+
+    def test_ndcg_perfect(self):
+        assert ndcg_at_k([2, 1, 0], [2, 1, 0], 3) == pytest.approx(1.0)
+
+    def test_ndcg_worst_order(self):
+        assert ndcg_at_k([0, 1, 2], [2, 1, 0], 3) < 1.0
+
+    def test_ndcg_no_relevant(self):
+        assert ndcg_at_k([0, 0], [0, 0], 2) == 0.0
+
+    def test_precision_recall(self):
+        assert precision_at_k([1, 0, 1, 0], 4) == pytest.approx(0.5)
+        assert recall_at_k([1, 0, 1, 0], 4, 4) == pytest.approx(0.5)
+
+    def test_average_precision(self):
+        # hits at ranks 1 and 3 of 2 relevant: (1/1 + 2/3)/2
+        assert average_precision_at_k([1, 0, 1], 2, 10) == pytest.approx(
+            (1.0 + 2 / 3) / 2)
+
+    def test_evaluate_run(self):
+        qrels = {"q1": {"d1": 1, "d2": 2}, "q2": {"d3": 1}}
+        run = {"q1": ["d1", "d2", "d9"], "q2": ["d9", "d3"]}
+        m = evaluate_run(run, qrels, k=3)
+        assert m["n_queries"] == 2
+        assert 0 < m["ndcg@3"] <= 1.0
+        assert m["recall@3"] == pytest.approx(1.0)
+
+    def test_evaluate_run_with_score_dict(self):
+        qrels = {"q1": {"d1": 1}}
+        run = {"q1": {"d1": 0.9, "d2": 0.1}}
+        m = evaluate_run(run, qrels, k=2)
+        assert m["p@2"] == pytest.approx(0.5)
+
+
+class TestBEIRLoader:
+    def test_round_trip(self, tmp_path):
+        d = tmp_path / "tiny"
+        (d / "qrels").mkdir(parents=True)
+        with open(d / "corpus.jsonl", "w") as f:
+            f.write(json.dumps({"_id": "d1", "title": "Cats",
+                                "text": "cats are small mammals"}) + "\n")
+            f.write(json.dumps({"_id": "d2",
+                                "text": "dogs bark loudly"}) + "\n")
+        with open(d / "queries.jsonl", "w") as f:
+            f.write(json.dumps({"_id": "q1", "text": "cat"}) + "\n")
+            f.write(json.dumps({"_id": "q2", "text": "unjudged"}) + "\n")
+        with open(d / "qrels" / "test.tsv", "w") as f:
+            f.write("query-id\tcorpus-id\tscore\n")
+            f.write("q1\td1\t1\n")
+        ds = load_beir_dataset(str(d))
+        assert set(ds.corpus) == {"d1", "d2"}
+        assert list(ds.queries) == ["q1"]  # unjudged dropped
+        assert ds.qrels == {"q1": {"d1": 1}}
+        assert ds.titles == {"d1": "Cats"}
+
+
+class TestSyntheticDataset:
+    def test_structure(self):
+        ds = synthetic_dataset(n_docs=100, n_queries=8, n_topics=5)
+        assert len(ds.corpus) == 100
+        assert len(ds.queries) == 8
+        assert ds.doc_emb.shape[0] == 100
+        assert all(q in ds.qrels for q in ds.queries)
+
+    def test_deterministic(self):
+        a = synthetic_dataset(n_docs=50, n_queries=4, seed=3)
+        b = synthetic_dataset(n_docs=50, n_queries=4, seed=3)
+        assert a.corpus == b.corpus
+        np.testing.assert_array_equal(a.doc_emb, b.doc_emb)
+
+
+class TestHashEmbed:
+    def test_deterministic_across_calls(self):
+        a = hash_embed(["hello world", "foo bar"], dim=32)
+        b = hash_embed(["hello world", "foo bar"], dim=32)
+        np.testing.assert_array_equal(a, b)
+
+    def test_normalized(self):
+        e = hash_embed(["some text here"], dim=64)
+        assert np.linalg.norm(e[0]) == pytest.approx(1.0, abs=1e-5)
+
+    def test_lexical_similarity(self):
+        e = hash_embed(["cats and dogs", "cats and dogs today",
+                        "quantum field theory"], dim=128)
+        sim_close = e[0] @ e[1]
+        sim_far = e[0] @ e[2]
+        assert sim_close > sim_far
+
+
+class TestHybridHarnessEndToEnd:
+    def test_tiny_run(self):
+        from benchmarks.hybrid_beir import run_dataset
+
+        ds = synthetic_dataset(n_docs=150, n_queries=10, n_topics=5)
+        results = run_dataset(ds, k=5, R=50, verbose=False)
+        assert "BM25" in results and "Bayesian-Balanced" in results
+        assert "Convex" in results and "VPT-BM25Weights" in results
+        for method, m in results.items():
+            assert 0.0 <= m["ndcg@5"] <= 1.0, method
+        # hybrid should not be catastrophically below BM25 on this data
+        assert results["Bayesian-Balanced"]["ndcg@5"] >= \
+            results["BM25"]["ndcg@5"] * 0.5

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from bayesian_bm25_tpu import BayesianBM25Scorer, MultiFieldScorer
+from bayesian_bm25_tpu import MultiFieldScorer
 from bayesian_bm25_tpu.models.probability import logit, sigmoid
 
 

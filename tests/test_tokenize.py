@@ -7,7 +7,6 @@ from bayesian_bm25_tpu.engine.tokenize import (
     STOPWORDS,
     porter_stem,
     tokenize_py,
-    tokenize_texts,
 )
 
 
