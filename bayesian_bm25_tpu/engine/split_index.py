@@ -259,13 +259,19 @@ def probabilities_all_split(
     return jnp.where(scores > 0, probs.astype(scores.dtype), 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "n_docs", "prior_free"))
+@partial(jax.jit, static_argnames=("k", "n_docs", "prior_free", "approx"))
 def retrieve_topk_split(
     dense_impact, dense_presence, tail_ids, tail_w, doc_lengths, avgdl,
     fslots, fcnt, tail_qids, tail_qcnt, k: int,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
+    approx: bool = False,
 ):
-    """Fused split scoring -> top-k -> Bayesian transform (hot path)."""
+    """Fused split scoring -> top-k -> Bayesian transform (hot path).
+
+    ``approx=True`` uses the TPU-optimized ``lax.approx_max_k`` (recall
+    ~0.95 by default) instead of exact top-k — a latency/recall trade for
+    serving workloads.
+    """
     from bayesian_bm25_tpu.ops import transform as T
 
     scores, tfs = _split_score_kernel(
@@ -274,7 +280,10 @@ def retrieve_topk_split(
     )
     scores = scores[:, :n_docs]
     tfs = tfs[:, :n_docs]
-    top_scores, top_ids = jax.lax.top_k(scores, k)
+    if approx:
+        top_scores, top_ids = jax.lax.approx_max_k(scores, k)
+    else:
+        top_scores, top_ids = jax.lax.top_k(scores, k)
     top_tfs = jnp.take_along_axis(tfs, top_ids, axis=1)
     top_dlr = doc_lengths[top_ids] / avgdl
     probs = T.score_to_probability(

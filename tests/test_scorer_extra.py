@@ -112,3 +112,21 @@ class TestQueryBatchShapes:
         long_q = [t for doc in big_corpus[:5] for t in doc]  # 200 tokens
         ids, probs = s.retrieve([long_q], k=3)
         assert np.all(probs >= 0)
+
+
+class TestApproxRetrieve:
+    def test_approx_overlaps_exact(self, big_corpus):
+        s = BayesianBM25Scorer()
+        s.index(big_corpus, show_progress=False)
+        assert s._split is not None
+        queries = [big_corpus[i][:4] for i in range(8)]
+        exact_ids, _ = s.retrieve(queries, k=10)
+        approx_ids, approx_probs = s.retrieve(queries, k=10, approx=True)
+        assert approx_ids.shape == exact_ids.shape
+        assert np.all((approx_probs >= 0) & (approx_probs < 1))
+        # high overlap between approx and exact winners
+        overlaps = [
+            len(set(exact_ids[i]) & set(approx_ids[i])) / 10
+            for i in range(len(queries))
+        ]
+        assert np.mean(overlaps) > 0.7
