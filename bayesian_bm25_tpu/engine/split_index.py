@@ -123,27 +123,38 @@ def build_split_index(
     )
 
 
+def _pow2_bucket(n: int, minimum: int) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 def encode_queries_split(
     query_tokens: list, split: SplitBM25Index,
     tail_pad_multiple: int = 4,
     freq_pad_multiple: int = 8,
 ):
     """Queries -> (freq slot ids (nq, Qf), freq counts (nq, Qf),
-    tail qids (nq, Qt), tail qcnt (nq, Qt)).
+    tail row indices (nt,), tail qids (nt, Qt), tail qcnt (nt, Qt)).
 
     The frequent side ships as compact slot/count lists (padded with the
     overflow slot K) and is scattered into the dense (nq, K) query matrix
     on device — the dense matrix never crosses the host<->device link.
+    The tail side covers ONLY queries that actually have rare terms
+    (typically ~half the batch with ~1 term each); the kernel scatters
+    their compare scores back into the matmul scores by row index. Both
+    tail dims are power-of-two bucketed to bound compile counts.
     """
     vocab = split.vocab
     K = split.n_frequent
     slot_of = split.freq_slot_of_term
     nq = len(query_tokens)
     freq_rows: list = []
-    tail_rows: list = []
+    tail_rows: list = []  # (query_index, [(tid, count), ...])
     widest_f = 1
     widest_t = 1
-    for tokens in query_tokens:
+    for qi, tokens in enumerate(query_tokens):
         counts: dict[int, int] = {}
         for tok in tokens:
             tid = vocab.get(tok)
@@ -158,9 +169,10 @@ def encode_queries_split(
             else:
                 tail.append((tid, c))
         widest_f = max(widest_f, len(freq))
-        widest_t = max(widest_t, len(tail))
         freq_rows.append(freq)
-        tail_rows.append(tail)
+        if tail:
+            widest_t = max(widest_t, len(tail))
+            tail_rows.append((qi, tail))
 
     Qf = _round_up(max(widest_f, 1), freq_pad_multiple)
     fslots = np.full((nq, Qf), K, dtype=np.int32)  # K = overflow column
@@ -170,14 +182,19 @@ def encode_queries_split(
             fslots[i, j] = s
             fcnt[i, j] = c
 
+    # Tail group, bucketed: pad rows point at query 0 with no terms
+    # (QUERY_PAD ids match nothing, so the scatter-add adds zeros).
+    nt = _pow2_bucket(max(len(tail_rows), 1), 16)
     Qt = _round_up(max(widest_t, 1), tail_pad_multiple)
-    qids = np.full((nq, Qt), eidx.QUERY_PAD, dtype=np.int32)
-    qcnt = np.zeros((nq, Qt), dtype=np.float32)
-    for i, tail in enumerate(tail_rows):
+    trows = np.zeros(nt, dtype=np.int32)
+    qids = np.full((nt, Qt), eidx.QUERY_PAD, dtype=np.int32)
+    qcnt = np.zeros((nt, Qt), dtype=np.float32)
+    for i, (qi, tail) in enumerate(tail_rows):
+        trows[i] = qi
         for j, (tid, c) in enumerate(tail):
             qids[i, j] = tid
             qcnt[i, j] = c
-    return fslots, fcnt, qids, qcnt
+    return fslots, fcnt, trows, qids, qcnt
 
 
 def _densify_queries(fslots, fcnt, K: int):
@@ -193,8 +210,9 @@ def _densify_queries(fslots, fcnt, K: int):
 
 @jax.jit
 def _split_score_kernel(dense_impact, dense_presence, tail_ids, tail_w,
-                        fslots, fcnt, tail_qids, tail_qcnt):
-    """scores = scatter(fslots) @ impact.T + tail compare; tf likewise."""
+                        fslots, fcnt, tail_rows, tail_qids, tail_qcnt):
+    """scores = scatter(fslots) @ impact.T, plus the tail compare for the
+    (small) subset of queries with rare terms, scattered back by row."""
     qvec, qpres = _densify_queries(fslots, fcnt, dense_impact.shape[1])
     dt = dense_impact.dtype
     # HIGHEST precision: TPU matmuls otherwise run bf16 passes, which
@@ -224,15 +242,19 @@ def _split_score_kernel(dense_impact, dense_presence, tail_ids, tail_w,
         lambda args: one(*args), (tail_qids, tail_qcnt),
         batch_size=min(16, tail_qids.shape[0]),
     )
-    return scores + t_scores, tfs + t_tfs
+    # Pad rows target query 0 with zero contributions (QUERY_PAD ids).
+    scores = scores.at[tail_rows].add(t_scores)
+    tfs = tfs.at[tail_rows].add(t_tfs)
+    return scores, tfs
 
 
-def score_all_split(split: SplitBM25Index, fslots, fcnt, tail_qids, tail_qcnt):
+def score_all_split(split: SplitBM25Index, fslots, fcnt, tail_rows,
+                    tail_qids, tail_qcnt):
     """(nq, D_pad) scores and unique-overlap tf counts."""
     return _split_score_kernel(
         split.dense_impact, split.dense_presence,
         split.tail_term_ids, split.tail_weights,
-        jnp.asarray(fslots), jnp.asarray(fcnt),
+        jnp.asarray(fslots), jnp.asarray(fcnt), jnp.asarray(tail_rows),
         jnp.asarray(tail_qids), jnp.asarray(tail_qcnt),
     )
 
@@ -240,7 +262,7 @@ def score_all_split(split: SplitBM25Index, fslots, fcnt, tail_qids, tail_qcnt):
 @partial(jax.jit, static_argnames=("n_docs", "prior_free"))
 def probabilities_all_split(
     dense_impact, dense_presence, tail_ids, tail_w, doc_lengths, avgdl,
-    fslots, fcnt, tail_qids, tail_qcnt,
+    fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
 ):
     """Dense calibrated probabilities (nq, n_docs) via the split path."""
@@ -248,7 +270,7 @@ def probabilities_all_split(
 
     scores, tfs = _split_score_kernel(
         dense_impact, dense_presence, tail_ids, tail_w,
-        fslots, fcnt, tail_qids, tail_qcnt,
+        fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
     )
     scores = scores[:, :n_docs]
     tfs = tfs[:, :n_docs]
@@ -262,7 +284,7 @@ def probabilities_all_split(
 @partial(jax.jit, static_argnames=("k", "n_docs", "prior_free", "approx"))
 def retrieve_topk_split(
     dense_impact, dense_presence, tail_ids, tail_w, doc_lengths, avgdl,
-    fslots, fcnt, tail_qids, tail_qcnt, k: int,
+    fslots, fcnt, tail_rows, tail_qids, tail_qcnt, k: int,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
     approx: bool = False,
 ):
@@ -276,7 +298,7 @@ def retrieve_topk_split(
 
     scores, tfs = _split_score_kernel(
         dense_impact, dense_presence, tail_ids, tail_w,
-        fslots, fcnt, tail_qids, tail_qcnt,
+        fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
     )
     scores = scores[:, :n_docs]
     tfs = tfs[:, :n_docs]

@@ -414,12 +414,11 @@ class BayesianBM25Scorer:
             from bayesian_bm25_tpu.engine import split_index as sidx
 
             s = self._split
-            fslots, fcnt, tqids, tqcnt = sidx.encode_queries_split(
-                query_tokens, s)
+            enc = sidx.encode_queries_split(query_tokens, s)
             top_ids, probs, top_scores, top_tfs = sidx.retrieve_topk_split(
                 s.dense_impact, s.dense_presence, s.tail_term_ids,
                 s.tail_weights, idx.doc_lengths, idx.avgdl,
-                fslots, fcnt, tqids, tqcnt, k_eff,
+                *enc, k_eff,
                 t.alpha, t.beta, t.base_rate, n_docs=idx.n_docs,
                 prior_free=t._training_mode == "prior_free",
                 approx=approx,

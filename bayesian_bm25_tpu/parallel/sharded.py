@@ -136,7 +136,8 @@ def shard_split_index_arrays(mesh: Mesh, split):
 
 def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
                                 tail_ids, tail_w, doc_lengths, avgdl,
-                                fslots, fcnt, tail_qids, tail_qcnt, k: int,
+                                fslots, fcnt, tail_rows, tail_qids,
+                                tail_qcnt, k: int,
                                 alpha, beta, base_rate=None):
     """Distributed top-k over the frequency-split index.
 
@@ -151,12 +152,12 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
         jax.shard_map,
         mesh=mesh,
         in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
-                  P("d"), P(None, None), P(None, None), P(None, None),
-                  P(None, None)),
+                  P("d"), P(None, None), P(None, None), P(None),
+                  P(None, None), P(None, None)),
         out_specs=(P(None, None), P(None, None), P(None, None)),
         check_vma=False,
     )
-    def body(imp, pres, tids, tw, dl, fs, fc, tqi, tqc):
+    def body(imp, pres, tids, tw, dl, fs, fc, trow, tqi, tqc):
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
         dt = imp.dtype
         scores = jnp.dot(qvec.astype(dt), imp.T,
@@ -166,8 +167,8 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
                       precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
         t_scores, t_tfs = _local_score(tids, tw, tqi, tqc)
-        scores = scores + t_scores
-        tfs = tfs + t_tfs
+        scores = scores.at[trow].add(t_scores)
+        tfs = tfs.at[trow].add(t_tfs)
 
         local_k = min(k, tids.shape[0])
         top_s, top_local = jax.lax.top_k(scores, local_k)
@@ -191,7 +192,8 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
 
     return body(dense_impact, dense_presence, tail_ids, tail_w, doc_lengths,
                 jnp.asarray(fslots), jnp.asarray(fcnt),
-                jnp.asarray(tail_qids), jnp.asarray(tail_qcnt))
+                jnp.asarray(tail_rows), jnp.asarray(tail_qids),
+                jnp.asarray(tail_qcnt))
 
 
 def sharded_train_step(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,
