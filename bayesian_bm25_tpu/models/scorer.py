@@ -461,6 +461,16 @@ class BayesianBM25Scorer:
             explanations.append(row)
         return RetrievalResult(doc_ids, probabilities, explanations)
 
+    def retrieve_texts(self, query_texts: list[str], k: int = 10,
+                       explain: bool = False, approx: bool = False):
+        """Text-in serving API: tokenize (C++ pipeline when built) then
+        retrieve. Pair with ``index_texts`` for an end-to-end raw-text path.
+        """
+        from bayesian_bm25_tpu.engine.tokenize import tokenize_texts
+
+        return self.retrieve(tokenize_texts(query_texts), k=k,
+                             explain=explain, approx=approx)
+
     def get_probabilities(self, query_tokens: list[str]) -> np.ndarray:
         """Calibrated probability for every document (dense, one query)."""
         return self.get_probabilities_batch([query_tokens])[0]

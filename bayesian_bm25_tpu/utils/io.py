@@ -98,6 +98,82 @@ def save_model(path: str, model) -> None:
         raise TypeError(f"Unsupported model type: {type(model).__name__}")
 
 
+def save_scorer(path: str, scorer) -> None:
+    """Serialize a fitted BayesianBM25Scorer (index + transform + config)
+    to one .npz archive — a production checkpoint that avoids pickle.
+
+    The vocabulary is stored as an id-ordered newline-joined blob; device
+    arrays round-trip through numpy. The frequency-split accelerator is
+    rebuilt on load (derived state). ``corpus_tokens`` are not persisted —
+    ``add_documents`` requires re-indexing from source anyway.
+    """
+    idx = scorer.bm25_index
+    if idx is None:
+        raise ValueError("scorer must be indexed before saving")
+    t = scorer.transform
+    terms = [None] * idx.n_terms
+    for tok, tid in idx.vocab.items():
+        terms[tid] = tok
+    vocab_blob = "\n".join(terms).encode("utf-8")
+    np.savez_compressed(
+        path, _meta=_meta("scorer"),
+        k1=scorer._k1, b=scorer._b, method=np.array([scorer._method]),
+        base_rate_method=np.array([scorer._base_rate_method]),
+        term_ids=np.asarray(idx.term_ids),
+        weights=np.asarray(idx.weights),
+        doc_lengths=np.asarray(idx.doc_lengths),
+        doc_frequencies=idx.doc_frequencies,
+        idf=idx.idf,
+        n_docs=idx.n_docs, n_terms=idx.n_terms, avgdl=idx.avgdl,
+        max_doc_terms=idx.max_doc_terms,
+        vocab_blob=np.frombuffer(vocab_blob, dtype=np.uint8),
+        alpha=t.alpha, beta=t.beta,
+        base_rate=np.nan if t.base_rate is None else t.base_rate,
+        mode=np.array([t._training_mode]),
+    )
+
+
+def load_scorer(path: str):
+    """Reconstruct a scorer saved by ``save_scorer``."""
+    import jax.numpy as jnp
+
+    from bayesian_bm25_tpu.engine.index import BM25Index
+    from bayesian_bm25_tpu.models.scorer import BayesianBM25Scorer
+
+    data = np.load(path, allow_pickle=False)
+    if str(data["_meta"][0]) != "scorer":
+        raise ValueError("archive is not a scorer checkpoint")
+    blob = bytes(np.asarray(data["vocab_blob"])).decode("utf-8")
+    terms = blob.split("\n") if blob else []
+    vocab = {tok: i for i, tok in enumerate(terms)}
+
+    scorer = BayesianBM25Scorer(
+        k1=float(data["k1"]), b=float(data["b"]),
+        method=str(data["method"][0]),
+        base_rate_method=str(data["base_rate_method"][0]),
+    )
+    scorer._index = BM25Index(
+        k1=float(data["k1"]), b=float(data["b"]),
+        method=str(data["method"][0]), vocab=vocab,
+        term_ids=jnp.asarray(data["term_ids"]),
+        weights=jnp.asarray(data["weights"]),
+        doc_lengths=jnp.asarray(data["doc_lengths"]),
+        doc_frequencies=np.asarray(data["doc_frequencies"]),
+        idf=np.asarray(data["idf"]),
+        n_docs=int(data["n_docs"]), n_terms=int(data["n_terms"]),
+        avgdl=float(data["avgdl"]),
+        max_doc_terms=int(data["max_doc_terms"]),
+    )
+    scorer._maybe_build_split()
+    br = float(data["base_rate"])
+    scorer._transform = BayesianProbabilityTransform(
+        alpha=float(data["alpha"]), beta=float(data["beta"]),
+        base_rate=None if np.isnan(br) else br,
+    )
+    scorer._transform._training_mode = str(data["mode"][0])
+    return scorer
+
+
 def load_model(path: str):
     """Reconstruct a model saved by ``save_model``."""
     data = np.load(path, allow_pickle=False)

@@ -110,3 +110,35 @@ class TestRoundTrips:
     def test_unknown_type_raises(self, tmp_path):
         with pytest.raises(TypeError):
             save_model(_path(tmp_path, "x"), object())
+
+
+class TestScorerCheckpoint:
+    def test_save_load_round_trip(self, tmp_path):
+        import numpy as np
+
+        from bayesian_bm25_tpu import BayesianBM25Scorer
+        from bayesian_bm25_tpu.utils.io import load_scorer, save_scorer
+
+        rng = np.random.default_rng(0)
+        corpus = [[f"t{t}" for t in rng.zipf(1.4, size=30) % 500]
+                  for _ in range(200)]
+        s = BayesianBM25Scorer(base_rate=0.02, method="lucene")
+        s.index(corpus, show_progress=False)
+        path = str(tmp_path / "scorer.npz")
+        save_scorer(path, s)
+        s2 = load_scorer(path)
+        assert s2.num_docs == s.num_docs
+        assert s2.transform.alpha == pytest.approx(s.transform.alpha)
+        assert s2.base_rate == s.base_rate
+        q = [corpus[3][:4], ["t1", "t7"]]
+        np.testing.assert_allclose(
+            s2.retrieve(q, k=5)[1], s.retrieve(q, k=5)[1], rtol=1e-6)
+        np.testing.assert_allclose(
+            s2.get_probabilities(q[0]), s.get_probabilities(q[0]), rtol=1e-6)
+
+    def test_unfitted_raises(self, tmp_path):
+        from bayesian_bm25_tpu import BayesianBM25Scorer
+        from bayesian_bm25_tpu.utils.io import save_scorer
+
+        with pytest.raises(ValueError):
+            save_scorer(str(tmp_path / "x.npz"), BayesianBM25Scorer())

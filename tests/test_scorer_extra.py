@@ -130,3 +130,20 @@ class TestApproxRetrieve:
             for i in range(len(queries))
         ]
         assert np.mean(overlaps) > 0.7
+
+
+class TestRetrieveTexts:
+    def test_text_in_text_out(self):
+        from bayesian_bm25_tpu import BayesianBM25Scorer
+
+        texts = [
+            "machine learning models require training data",
+            "the cat sat on the warm mat",
+            "neural networks learn representations",
+        ] * 4
+        s = BayesianBM25Scorer()
+        s.index_texts(texts)
+        ids, probs = s.retrieve_texts(["machine learning", "warm cat"], k=2)
+        assert ids.shape == (2, 2)
+        assert ids[0, 0] % 3 == 0  # a "machine learning" doc
+        assert ids[1, 0] % 3 == 1  # a "cat" doc
