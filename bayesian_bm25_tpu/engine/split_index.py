@@ -150,50 +150,79 @@ def encode_queries_split(
     K = split.n_frequent
     slot_of = split.freq_slot_of_term
     nq = len(query_tokens)
-    freq_rows: list = []
-    tail_rows: list = []  # (query_index, [(tid, count), ...])
-    widest_f = 1
-    widest_t = 1
+
+    # One dict lookup per token; everything after is vectorized numpy.
+    get = vocab.get
+    flat_q: list = []
+    flat_t: list = []
     for qi, tokens in enumerate(query_tokens):
-        counts: dict[int, int] = {}
         for tok in tokens:
-            tid = vocab.get(tok)
+            tid = get(tok)
             if tid is not None:
-                counts[tid] = counts.get(tid, 0) + 1
-        freq: list = []
-        tail: list = []
-        for tid, c in counts.items():
-            s = slot_of[tid]
-            if s < K:
-                freq.append((int(s), c))
-            else:
-                tail.append((tid, c))
-        widest_f = max(widest_f, len(freq))
-        freq_rows.append(freq)
-        if tail:
-            widest_t = max(widest_t, len(tail))
-            tail_rows.append((qi, tail))
+                flat_q.append(qi)
+                flat_t.append(tid)
 
-    Qf = _round_up(max(widest_f, 1), freq_pad_multiple)
-    fslots = np.full((nq, Qf), K, dtype=np.int32)  # K = overflow column
-    fcnt = np.zeros((nq, Qf), dtype=np.float32)
-    for i, freq in enumerate(freq_rows):
-        for j, (s, c) in enumerate(freq):
-            fslots[i, j] = s
-            fcnt[i, j] = c
+    if not flat_t:
+        Qf = _round_up(1, freq_pad_multiple)
+        Qt = _round_up(1, tail_pad_multiple)
+        nt = _pow2_bucket(1, 16)
+        return (np.full((nq, Qf), K, np.int32), np.zeros((nq, Qf), np.float32),
+                np.zeros(nt, np.int32),
+                np.full((nt, Qt), eidx.QUERY_PAD, np.int32),
+                np.zeros((nt, Qt), np.float32))
 
-    # Tail group, bucketed: pad rows point at query 0 with no terms
-    # (QUERY_PAD ids match nothing, so the scatter-add adds zeros).
-    nt = _pow2_bucket(max(len(tail_rows), 1), 16)
-    Qt = _round_up(max(widest_t, 1), tail_pad_multiple)
-    trows = np.zeros(nt, dtype=np.int32)
-    qids = np.full((nt, Qt), eidx.QUERY_PAD, dtype=np.int32)
-    qcnt = np.zeros((nt, Qt), dtype=np.float32)
-    for i, (qi, tail) in enumerate(tail_rows):
-        trows[i] = qi
-        for j, (tid, c) in enumerate(tail):
-            qids[i, j] = tid
-            qcnt[i, j] = c
+    qarr = np.asarray(flat_q, dtype=np.int64)
+    tarr = np.asarray(flat_t, dtype=np.int64)
+    # Deduplicate (query, term) pairs with multiplicities in one pass.
+    V = len(slot_of)
+    pair, counts = np.unique(qarr * V + tarr, return_counts=True)
+    pq = (pair // V).astype(np.int64)
+    pt = (pair % V).astype(np.int64)
+    slots = slot_of[pt]
+    is_freq = slots < K
+
+    # Frequent side: rows are ALL queries (absent ones stay empty).
+    fq = pq[is_freq]
+    fs = slots[is_freq]
+    fc = counts[is_freq]
+    if len(fq):
+        uniq_q, start = np.unique(fq, return_index=True)
+        per = np.diff(np.append(start, len(fq)))
+        Qf = _round_up(int(per.max()), freq_pad_multiple)
+        col = np.arange(len(fq)) - start[np.searchsorted(uniq_q, fq)]
+        fslots = np.full((nq, Qf), K, dtype=np.int32)
+        fcnt = np.zeros((nq, Qf), dtype=np.float32)
+        fslots[fq, col] = fs
+        fcnt[fq, col] = fc
+    else:
+        Qf = _round_up(1, freq_pad_multiple)
+        fslots = np.full((nq, Qf), K, dtype=np.int32)
+        fcnt = np.zeros((nq, Qf), dtype=np.float32)
+
+    # Tail side: rows only for queries that have rare terms; bucketed pads
+    # point at query 0 with QUERY_PAD ids (zero contribution).
+    tq = pq[~is_freq]
+    tt = pt[~is_freq]
+    tc = counts[~is_freq]
+    if len(tq):
+        uniq_q, start = np.unique(tq, return_index=True)
+        per = np.diff(np.append(start, len(tq)))
+        Qt = _round_up(int(per.max()), tail_pad_multiple)
+        nt = _pow2_bucket(len(uniq_q), 16)
+        row_of = np.searchsorted(uniq_q, tq)
+        col = np.arange(len(tq)) - start[row_of]
+        trows = np.zeros(nt, dtype=np.int32)
+        trows[: len(uniq_q)] = uniq_q
+        qids = np.full((nt, Qt), eidx.QUERY_PAD, dtype=np.int32)
+        qcnt = np.zeros((nt, Qt), dtype=np.float32)
+        qids[row_of, col] = tt
+        qcnt[row_of, col] = tc
+    else:
+        Qt = _round_up(1, tail_pad_multiple)
+        nt = _pow2_bucket(1, 16)
+        trows = np.zeros(nt, dtype=np.int32)
+        qids = np.full((nt, Qt), eidx.QUERY_PAD, dtype=np.int32)
+        qcnt = np.zeros((nt, Qt), dtype=np.float32)
     return fslots, fcnt, trows, qids, qcnt
 
 
