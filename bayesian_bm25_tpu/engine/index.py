@@ -273,30 +273,39 @@ def encode_queries(
     doc's token set). Queries with more unique terms than the padded width
     keep the first ``max_query_terms`` in first-occurrence order.
     """
-    rows: list[np.ndarray] = []
-    cnt_rows: list[np.ndarray] = []
-    widest = 1
-    for tokens in query_tokens:
-        counts: dict[int, int] = {}
+    nq = len(query_tokens)
+    get = vocab.get
+    flat_q: list = []
+    flat_t: list = []
+    for qi, tokens in enumerate(query_tokens):
         for tok in tokens:
-            tid = vocab.get(tok)
+            tid = get(tok)
             if tid is not None:
-                counts[tid] = counts.get(tid, 0) + 1
-        tids = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
-        cnts = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
-        widest = max(widest, len(tids))
-        rows.append(tids)
-        cnt_rows.append(cnts)
+                flat_q.append(qi)
+                flat_t.append(tid)
 
-    Q = _round_up(max(widest, 1), pad_multiple)
+    min_Q = _round_up(1, pad_multiple)
+    if not flat_t:
+        return (np.full((nq, min_Q), QUERY_PAD, np.int32),
+                np.zeros((nq, min_Q), np.float32))
+
+    # Deduplicate (query, term) pairs with multiplicities, then scatter
+    # into the padded table — one numpy pass instead of per-query loops.
+    qarr = np.asarray(flat_q, dtype=np.int64)
+    tarr = np.asarray(flat_t, dtype=np.int64)
+    V = max(len(vocab), 1)
+    pair, counts = np.unique(qarr * V + tarr, return_counts=True)
+    pq = pair // V
+    pt = pair % V
+    uniq_q, start = np.unique(pq, return_index=True)
+    per = np.diff(np.append(start, len(pq)))
+    Q = _round_up(int(per.max()), pad_multiple)
     if max_query_terms is not None:
         Q = min(Q, _round_up(max_query_terms, pad_multiple))
-
-    nq = len(query_tokens)
+    col = np.arange(len(pq)) - start[np.searchsorted(uniq_q, pq)]
+    keep = col < Q  # first-Q unique terms when a query overflows
     qids = np.full((nq, Q), QUERY_PAD, dtype=np.int32)
     qcnt = np.zeros((nq, Q), dtype=np.float32)
-    for i, (tids, cnts) in enumerate(zip(rows, cnt_rows)):
-        m = min(len(tids), Q)
-        qids[i, :m] = tids[:m]
-        qcnt[i, :m] = cnts[:m]
+    qids[pq[keep], col[keep]] = pt[keep]
+    qcnt[pq[keep], col[keep]] = counts[keep]
     return qids, qcnt
