@@ -33,6 +33,72 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def make_mesh_2d(n_query: int, n_doc: int) -> Mesh:
+    """2-D mesh: query axis ('q', data-parallel over the batch) x document
+    axis ('d', the corpus shard axis) — the retrieval analogue of dp x tp."""
+    import numpy as np
+
+    devices = jax.devices()
+    need = n_query * n_doc
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:need]).reshape(n_query, n_doc), ("q", "d"))
+
+
+def sharded_retrieve_topk_2d(mesh: Mesh, term_ids, weights, doc_lengths,
+                             avgdl, qids, qcnt, k: int, alpha, beta,
+                             base_rate=None):
+    """Top-k retrieval on a (query x document) 2-D mesh.
+
+    Queries shard over 'q' (each query-row of devices handles its slice of
+    the batch); documents shard over 'd'. Per (q, d) tile: local scoring +
+    local top-k; candidates all_gather over 'd' only — the merge rides the
+    document axis, and the output stays sharded over 'q' (no cross-batch
+    traffic at all).
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("d", None), P("d", None), P("d"),
+                  P("q", None), P("q", None)),
+        out_specs=(P("q", None), P("q", None), P("q", None)),
+        check_vma=False,
+    )
+    def body(tids, w, dl, qi, qc):
+        scores, tfs = _local_score(tids, w, qi, qc)
+        local_k = min(k, tids.shape[0])
+        top_s, top_local = jax.lax.top_k(scores, local_k)
+        offset = jax.lax.axis_index("d") * tids.shape[0]
+        top_global = top_local + offset
+        top_tf = jnp.take_along_axis(tfs, top_local, axis=1)
+        top_dl = dl[top_local]
+        cand_s = jax.lax.all_gather(top_s, "d", axis=1, tiled=True)
+        cand_id = jax.lax.all_gather(top_global, "d", axis=1, tiled=True)
+        cand_tf = jax.lax.all_gather(top_tf, "d", axis=1, tiled=True)
+        cand_dl = jax.lax.all_gather(top_dl, "d", axis=1, tiled=True)
+        merge_s, merge_pos = jax.lax.top_k(cand_s, k)
+        ids = jnp.take_along_axis(cand_id, merge_pos, axis=1)
+        tfs_m = jnp.take_along_axis(cand_tf, merge_pos, axis=1)
+        dl_m = jnp.take_along_axis(cand_dl, merge_pos, axis=1)
+        probs = T.score_to_probability(
+            merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate
+        )
+        probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
+        return ids, probs, merge_s
+
+    doc_sharded = NamedSharding(mesh, P("d", None))
+    vec_sharded = NamedSharding(mesh, P("d"))
+    q_sharded = NamedSharding(mesh, P("q", None))
+    return body(
+        jax.device_put(term_ids, doc_sharded),
+        jax.device_put(weights, doc_sharded),
+        jax.device_put(doc_lengths, vec_sharded),
+        jax.device_put(jnp.asarray(qids), q_sharded),
+        jax.device_put(jnp.asarray(qcnt), q_sharded),
+    )
+
+
 def shard_index_arrays(mesh: Mesh, term_ids, weights, doc_lengths):
     """Place index arrays with the doc axis sharded over the mesh."""
     doc_sharded = NamedSharding(mesh, P("d", None))

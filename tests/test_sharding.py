@@ -160,3 +160,26 @@ class TestShardedSplit:
             np.asarray(scores_s), np.asarray(single[2]), rtol=1e-5)
         np.testing.assert_allclose(
             np.asarray(probs_s), np.asarray(single[1]), rtol=1e-5)
+
+
+class TestMesh2D:
+    def test_qxd_mesh_matches_single_device(self, setup):
+        idx, qids, qcnt = setup
+        # 6 queries don't split over 4 'q' shards evenly; use 8 queries
+        qids8 = np.concatenate([qids, qids[:2]])
+        qcnt8 = np.concatenate([qcnt, qcnt[:2]])
+        mesh = sharded.make_mesh_2d(4, 2)
+        ids2, probs2, scores2 = sharded.sharded_retrieve_topk_2d(
+            mesh, idx.term_ids, idx.weights, idx.doc_lengths, idx.avgdl,
+            qids8, qcnt8, 5, 1.0, 2.0, 0.05)
+        single = scoring.retrieve_topk(
+            idx.term_ids, idx.weights, idx.doc_lengths, idx.avgdl,
+            qids8, qcnt8, 5, 1.0, 2.0, 0.05)
+        np.testing.assert_allclose(
+            np.asarray(scores2), np.asarray(single[2]), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(probs2), np.asarray(single[1]), rtol=1e-6)
+
+    def test_too_few_devices_raises(self):
+        with pytest.raises(ValueError):
+            sharded.make_mesh_2d(4, 4)
