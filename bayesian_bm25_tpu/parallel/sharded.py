@@ -262,6 +262,73 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
                 jnp.asarray(tail_qcnt))
 
 
+def sharded_fit_transform(mesh: Mesh, scores, labels, *, alpha0=1.0,
+                          beta0=0.0, prior_aware: bool = False, priors=None,
+                          learning_rate: float = 0.01,
+                          max_iterations: int = 1000,
+                          tolerance: float = 1e-6):
+    """Data-parallel transform fit: samples shard over the mesh, the GD
+    while_loop runs with psum-averaged gradients — numerically identical to
+    the single-device fit on the concatenated sample (tested).
+
+    This is the multichip form of BayesianProbabilityTransform.fit: use it
+    when the (score, label) training pool itself is too large for one chip
+    or already lives sharded next to a sharded corpus.
+    """
+    from bayesian_bm25_tpu.ops.transform import _bce_grads
+
+    n_total = scores.shape[0]
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def body(s, y, p):
+        dt = jnp.float32
+        s = s.astype(dt)
+        y = y.astype(dt)
+        p = p.astype(dt)
+        ones = jnp.ones_like(s)
+        n_local = s.shape[0]
+
+        def grads(a, b):
+            # local mean grads scaled to local weight, then psum-average
+            # (cast back: mathx promotes to f64 when x64 is on)
+            g_a, g_b = _bce_grads(a, b, s, y, p, ones, prior_aware)
+            g_a = jax.lax.psum(g_a.astype(dt) * n_local, "d") / n_total
+            g_b = jax.lax.psum(g_b.astype(dt) * n_local, "d") / n_total
+            return g_a, g_b
+
+        lr = jnp.asarray(learning_rate, dt)
+        tol = jnp.asarray(tolerance, dt)
+
+        def cond(state):
+            _, _, done, it = state
+            return jnp.logical_and(~done, it < max_iterations)
+
+        def step(state):
+            a, b, _, it = state
+            g_a, g_b = grads(a, b)
+            na = a - lr * g_a
+            nb = b - lr * g_b
+            done = jnp.logical_and(jnp.abs(na - a) < tol,
+                                   jnp.abs(nb - b) < tol)
+            return na, nb, done, it + 1
+
+        a, b, _, it = jax.lax.while_loop(
+            cond, step,
+            (jnp.asarray(alpha0, dt), jnp.asarray(beta0, dt),
+             jnp.asarray(False), jnp.asarray(0)),
+        )
+        return a, b, it
+
+    priors_arr = (jnp.zeros_like(jnp.asarray(scores)) if priors is None
+                  else jnp.asarray(priors))
+    return body(jnp.asarray(scores), jnp.asarray(labels), priors_arr)
+
+
 def sharded_train_step(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,
                        qids, qcnt, labels, alpha, beta,
                        learning_rate: float = 0.01):

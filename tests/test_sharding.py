@@ -183,3 +183,42 @@ class TestMesh2D:
     def test_too_few_devices_raises(self):
         with pytest.raises(ValueError):
             sharded.make_mesh_2d(4, 4)
+
+
+class TestShardedFit:
+    def test_matches_single_device_fit(self):
+        from bayesian_bm25_tpu import BayesianProbabilityTransform
+
+        rng = np.random.default_rng(7)
+        n = 4096  # divisible by 8 shards
+        scores = rng.normal(1.0, 2.0, n).astype(np.float32)
+        p = 1 / (1 + np.exp(-1.5 * (scores - 1.0)))
+        labels = (rng.uniform(size=n) < p).astype(np.float32)
+
+        mesh = sharded.make_mesh()
+        a, b, it = sharded.sharded_fit_transform(
+            mesh, scores, labels, alpha0=0.5, beta0=0.0,
+            learning_rate=0.1, max_iterations=500)
+
+        t = BayesianProbabilityTransform(alpha=0.5, beta=0.0)
+        t.fit(scores.astype(np.float64), labels.astype(np.float64),
+              learning_rate=0.1, max_iterations=500)
+        assert float(a) == pytest.approx(t.alpha, rel=1e-3)
+        assert float(b) == pytest.approx(t.beta, rel=1e-3, abs=1e-3)
+
+    def test_prior_aware_mode(self):
+        from bayesian_bm25_tpu.ops.transform import composite_prior
+
+        rng = np.random.default_rng(8)
+        n = 2048
+        scores = rng.normal(1.0, 2.0, n).astype(np.float32)
+        labels = rng.integers(0, 2, n).astype(np.float32)
+        tfs = rng.integers(0, 10, n).astype(np.float32)
+        dlr = rng.uniform(0.3, 1.5, n).astype(np.float32)
+        priors = np.asarray(composite_prior(tfs, dlr), dtype=np.float32)
+        mesh = sharded.make_mesh()
+        a, b, it = sharded.sharded_fit_transform(
+            mesh, scores, labels, prior_aware=True, priors=priors,
+            learning_rate=0.05, max_iterations=200)
+        assert np.isfinite(float(a)) and np.isfinite(float(b))
+        assert int(it) > 0
