@@ -50,9 +50,14 @@ class SplitBM25Index:
     # device: (D_pad, K) impact + presence matrices for frequent terms
     dense_impact: jnp.ndarray = field(repr=False)
     dense_presence: jnp.ndarray = field(repr=False)
-    # device: narrow doc-major table for rare terms
+    # device: narrow doc-major table for rare terms (first T_A per doc)
     tail_term_ids: jnp.ndarray = field(repr=False)
     tail_weights: jnp.ndarray = field(repr=False)
+    # device: overflow rows for the few docs with more rare terms:
+    # (n_over, T_B) tables + their global doc ids
+    over_term_ids: jnp.ndarray = field(repr=False, default=None)
+    over_weights: jnp.ndarray = field(repr=False, default=None)
+    over_doc_ids: jnp.ndarray = field(repr=False, default=None)
 
     @property
     def n_docs(self) -> int:
@@ -69,6 +74,7 @@ def build_split_index(
     *,
     dtype=jnp.float32,
     tail_pad_multiple: int = 8,
+    enable_overflow: bool = True,
 ) -> SplitBM25Index:
     """Split the doc-major table by document frequency rank."""
     tids = np.asarray(base.term_ids)
@@ -97,20 +103,45 @@ def build_split_index(
     impact = impact[:, :K]
     presence = presence[:, :K]
 
-    # Tail table
+    # Two-level tail: the primary table is sized by the 90th-percentile
+    # rare-term count (docs are heavy-tailed here too); the few docs with
+    # more rare terms spill into a small overflow table with doc ids.
     tail_counts = (valid & ~is_freq).sum(axis=1)
-    T_tail = max(
-        _round_up(max(int(tail_counts.max()), 1), tail_pad_multiple),
+    max_tail = max(int(tail_counts.max()), 1)
+    T_A = max(
+        _round_up(max(int(np.percentile(tail_counts, 90)), 1),
+                  tail_pad_multiple),
         tail_pad_multiple,
     )
-    tail_ids = np.full((D_pad, T_tail), eidx.DOC_PAD, dtype=np.int32)
-    tail_w = np.zeros((D_pad, T_tail), dtype=np.float32)
+    if not enable_overflow or T_A >= max_tail:
+        T_A = _round_up(max_tail, tail_pad_multiple)
+
     sel = valid & ~is_freq
     row_idx, _ = np.nonzero(sel)
-    # position of each rare term within its row
     col_idx = (np.cumsum(sel, axis=1) - 1)[sel]
-    tail_ids[row_idx, col_idx] = tids[sel]
-    tail_w[row_idx, col_idx] = w[sel]
+    flat_tids = tids[sel]
+    flat_w = w[sel]
+
+    in_primary = col_idx < T_A
+    tail_ids = np.full((D_pad, T_A), eidx.DOC_PAD, dtype=np.int32)
+    tail_w = np.zeros((D_pad, T_A), dtype=np.float32)
+    tail_ids[row_idx[in_primary], col_idx[in_primary]] = flat_tids[in_primary]
+    tail_w[row_idx[in_primary], col_idx[in_primary]] = flat_w[in_primary]
+
+    over_ids = over_w = over_docs = None
+    if not in_primary.all():
+        o_rows = row_idx[~in_primary]
+        o_cols = col_idx[~in_primary] - T_A
+        over_docs_u = np.unique(o_rows)
+        n_over = _pow2_bucket(len(over_docs_u), 8)
+        T_B = _round_up(max_tail - T_A, tail_pad_multiple)
+        over_ids = np.full((n_over, T_B), eidx.DOC_PAD, dtype=np.int32)
+        over_w = np.zeros((n_over, T_B), dtype=np.float32)
+        over_docs = np.zeros(n_over, dtype=np.int32)
+        over_docs[: len(over_docs_u)] = over_docs_u
+        row_map = np.searchsorted(over_docs_u, o_rows)
+        over_ids[row_map, o_cols] = flat_tids[~in_primary]
+        over_w[row_map, o_cols] = flat_w[~in_primary]
 
     return SplitBM25Index(
         base=base,
@@ -120,6 +151,9 @@ def build_split_index(
         dense_presence=jnp.asarray(presence, dtype=dtype),
         tail_term_ids=jnp.asarray(tail_ids),
         tail_weights=jnp.asarray(tail_w),
+        over_term_ids=None if over_ids is None else jnp.asarray(over_ids),
+        over_weights=None if over_w is None else jnp.asarray(over_w),
+        over_doc_ids=None if over_docs is None else jnp.asarray(over_docs),
     )
 
 
@@ -237,11 +271,36 @@ def _densify_queries(fslots, fcnt, K: int):
     return qvec[:, :K], qpres[:, :K]
 
 
+def _compare_table(table_ids, table_w, tail_qids, tail_qcnt):
+    """Compare a (rows, T) table against the tail query group ->
+    (nt, rows) partial scores + tf counts."""
+    Q = tail_qids.shape[1]
+
+    def one(qrow, crow):
+        def body(j, carry):
+            acc, tf = carry
+            m = (table_ids == qrow[j]).astype(jnp.float32)
+            acc = acc + crow[j] * jnp.sum(table_w * m, axis=1)
+            tf = tf + jnp.sum(m, axis=1)
+            return acc, tf
+
+        zeros = jnp.sum(table_w, axis=1) * 0.0
+        return jax.lax.fori_loop(0, Q, body, (zeros, zeros))
+
+    return jax.lax.map(
+        lambda args: one(*args), (tail_qids, tail_qcnt),
+        batch_size=min(16, tail_qids.shape[0]),
+    )
+
+
 @jax.jit
 def _split_score_kernel(dense_impact, dense_presence, tail_ids, tail_w,
-                        fslots, fcnt, tail_rows, tail_qids, tail_qcnt):
+                        fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
+                        overflow=None):
     """scores = scatter(fslots) @ impact.T, plus the tail compare for the
-    (small) subset of queries with rare terms, scattered back by row."""
+    (small) subset of queries with rare terms, scattered back by row.
+    ``overflow`` = (ids, weights, doc_ids) for the few docs whose rare
+    terms exceed the primary tail width."""
     qvec, qpres = _densify_queries(fslots, fcnt, dense_impact.shape[1])
     dt = dense_impact.dtype
     # HIGHEST precision: TPU matmuls otherwise run bf16 passes, which
@@ -254,27 +313,25 @@ def _split_score_kernel(dense_impact, dense_presence, tail_ids, tail_w,
                   precision=jax.lax.Precision.HIGHEST,
                   preferred_element_type=jnp.float32)
 
-    Q = tail_qids.shape[1]
-
-    def one(qrow, crow):
-        def body(j, carry):
-            acc, tf = carry
-            m = (tail_ids == qrow[j]).astype(jnp.float32)
-            acc = acc + crow[j] * jnp.sum(tail_w * m, axis=1)
-            tf = tf + jnp.sum(m, axis=1)
-            return acc, tf
-
-        zeros = jnp.sum(tail_w, axis=1) * 0.0
-        return jax.lax.fori_loop(0, Q, body, (zeros, zeros))
-
-    t_scores, t_tfs = jax.lax.map(
-        lambda args: one(*args), (tail_qids, tail_qcnt),
-        batch_size=min(16, tail_qids.shape[0]),
-    )
+    t_scores, t_tfs = _compare_table(tail_ids, tail_w, tail_qids, tail_qcnt)
     # Pad rows target query 0 with zero contributions (QUERY_PAD ids).
     scores = scores.at[tail_rows].add(t_scores)
     tfs = tfs.at[tail_rows].add(t_tfs)
+
+    if overflow is not None:
+        o_ids, o_w, o_docs = overflow
+        o_scores, o_tfs = _compare_table(o_ids, o_w, tail_qids, tail_qcnt)
+        rows2d = tail_rows[:, None]
+        cols2d = o_docs[None, :]
+        scores = scores.at[rows2d, cols2d].add(o_scores)
+        tfs = tfs.at[rows2d, cols2d].add(o_tfs)
     return scores, tfs
+
+
+def _overflow_of(split: SplitBM25Index):
+    if split.over_term_ids is None:
+        return None
+    return (split.over_term_ids, split.over_weights, split.over_doc_ids)
 
 
 def score_all_split(split: SplitBM25Index, fslots, fcnt, tail_rows,
@@ -285,6 +342,7 @@ def score_all_split(split: SplitBM25Index, fslots, fcnt, tail_rows,
         split.tail_term_ids, split.tail_weights,
         jnp.asarray(fslots), jnp.asarray(fcnt), jnp.asarray(tail_rows),
         jnp.asarray(tail_qids), jnp.asarray(tail_qcnt),
+        overflow=_overflow_of(split),
     )
 
 
@@ -293,13 +351,14 @@ def probabilities_all_split(
     dense_impact, dense_presence, tail_ids, tail_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
+    overflow=None,
 ):
     """Dense calibrated probabilities (nq, n_docs) via the split path."""
     from bayesian_bm25_tpu.ops import transform as T
 
     scores, tfs = _split_score_kernel(
         dense_impact, dense_presence, tail_ids, tail_w,
-        fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
+        fslots, fcnt, tail_rows, tail_qids, tail_qcnt, overflow=overflow,
     )
     scores = scores[:, :n_docs]
     tfs = tfs[:, :n_docs]
@@ -315,7 +374,7 @@ def retrieve_topk_split(
     dense_impact, dense_presence, tail_ids, tail_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_qids, tail_qcnt, k: int,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
-    approx: bool = False,
+    approx: bool = False, overflow=None,
 ):
     """Fused split scoring -> top-k -> Bayesian transform (hot path).
 
@@ -327,7 +386,7 @@ def retrieve_topk_split(
 
     scores, tfs = _split_score_kernel(
         dense_impact, dense_presence, tail_ids, tail_w,
-        fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
+        fslots, fcnt, tail_rows, tail_qids, tail_qcnt, overflow=overflow,
     )
     scores = scores[:, :n_docs]
     tfs = tfs[:, :n_docs]

@@ -421,7 +421,7 @@ class BayesianBM25Scorer:
                 *enc, k_eff,
                 t.alpha, t.beta, t.base_rate, n_docs=idx.n_docs,
                 prior_free=t._training_mode == "prior_free",
-                approx=approx,
+                approx=approx, overflow=sidx._overflow_of(s),
             )
         else:
             qids, qcnt = self._encode(query_tokens)
@@ -497,6 +497,7 @@ class BayesianBM25Scorer:
                 s.tail_weights, idx.doc_lengths, idx.avgdl, *enc,
                 t.alpha, t.beta, t.base_rate, n_docs=idx.n_docs,
                 prior_free=t._training_mode == "prior_free",
+                overflow=sidx._overflow_of(s),
             )
             return np.asarray(probs).astype(np.float64)
         qids, qcnt = self._encode(query_tokens_batch)

@@ -131,7 +131,7 @@ class TestShardedSplit:
 
         idx, qids, qcnt = setup
         # rebuild queries from the fixture's encoding is lossy; use raw ids
-        split = sidx.build_split_index(idx, n_frequent=128)
+        split = sidx.build_split_index(idx, n_frequent=128, enable_overflow=False)
         # re-encode from token lists reconstructed from the vocab
         inv = {v: k for k, v in idx.vocab.items()}
         queries = []

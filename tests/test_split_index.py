@@ -48,7 +48,8 @@ class TestSplitParity:
         new = sidx.retrieve_topk_split(
             split.dense_impact, split.dense_presence, split.tail_term_ids,
             split.tail_weights, idx.doc_lengths, idx.avgdl, *enc, 5,
-            1.0, 2.0, 0.05, n_docs=idx.n_docs)
+            1.0, 2.0, 0.05, n_docs=idx.n_docs,
+            overflow=sidx._overflow_of(split))
         np.testing.assert_allclose(
             np.asarray(new[2]), np.asarray(old[2]), rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(
@@ -65,7 +66,8 @@ class TestSplitParity:
         p_new = sidx.probabilities_all_split(
             split.dense_impact, split.dense_presence, split.tail_term_ids,
             split.tail_weights, idx.doc_lengths, idx.avgdl, *enc,
-            1.0, 2.0, 0.05, n_docs=idx.n_docs)
+            1.0, 2.0, 0.05, n_docs=idx.n_docs,
+            overflow=sidx._overflow_of(split))
         np.testing.assert_allclose(
             np.asarray(p_new), np.asarray(p_old), rtol=2e-4, atol=1e-6)
 
@@ -104,3 +106,36 @@ class TestScorerUsesSplit:
         s._split = None
         dense2 = s.get_probabilities_batch(queries)
         np.testing.assert_allclose(dense1, dense2, rtol=2e-4, atol=1e-6)
+
+
+class TestOverflowTail:
+    def test_overflow_table_built_and_exact(self):
+        """A corpus with one rare-term-heavy outlier doc uses the overflow
+        level and still matches the compare path exactly."""
+        rng = np.random.default_rng(9)
+        corpus = [[f"t{t}" for t in rng.zipf(1.4, size=30) % 400]
+                  for _ in range(100)]
+        # outlier: many distinct ultra-rare terms
+        corpus[7] = [f"rare{i}" for i in range(60)]
+        idx = eidx.build_index(corpus, doc_pad_multiple=8, pad_multiple=8)
+        split = sidx.build_split_index(idx, n_frequent=128)
+        assert split.over_term_ids is not None
+        queries = [["rare3", "rare55", "t2"], corpus[5][:4]]
+        qids, qcnt = eidx.encode_queries(queries, idx.vocab)
+        s_old, t_old = scoring.score_all_xla(idx.term_ids, idx.weights,
+                                             qids, qcnt)
+        enc = sidx.encode_queries_split(queries, split)
+        s_new, t_new = sidx.score_all_split(split, *enc)
+        np.testing.assert_allclose(np.asarray(s_new), np.asarray(s_old),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(t_new), np.asarray(t_old))
+
+    def test_disable_overflow(self):
+        rng = np.random.default_rng(10)
+        corpus = [[f"t{t}" for t in rng.zipf(1.4, size=30) % 400]
+                  for _ in range(64)]
+        corpus[3] = [f"rare{i}" for i in range(50)]
+        idx = eidx.build_index(corpus, doc_pad_multiple=8, pad_multiple=8)
+        split = sidx.build_split_index(idx, n_frequent=128,
+                                       enable_overflow=False)
+        assert split.over_term_ids is None
