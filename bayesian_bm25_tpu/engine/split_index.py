@@ -74,9 +74,16 @@ def build_split_index(
     *,
     dtype=jnp.float32,
     tail_pad_multiple: int = 8,
-    enable_overflow: bool = True,
+    enable_overflow: bool | str = "auto",
 ) -> SplitBM25Index:
-    """Split the doc-major table by document frequency rank."""
+    """Split the doc-major table by document frequency rank.
+
+    ``enable_overflow="auto"`` spills outlier docs' rare terms into a
+    second table only when it actually wins: the scatter-add of overflow
+    scores back into the (nq, D) matrix costs more than a moderately wider
+    single table (measured on v5e), so the spill engages only when the p90
+    width is at least 2x narrower than the max AND outliers are <= D/256.
+    """
     tids = np.asarray(base.term_ids)
     w = np.asarray(base.weights)
     D_pad, T = tids.shape
@@ -113,6 +120,11 @@ def build_split_index(
                   tail_pad_multiple),
         tail_pad_multiple,
     )
+    if enable_overflow == "auto":
+        n_outliers = int((tail_counts > T_A).sum())
+        enable_overflow = (
+            2 * T_A <= max_tail and n_outliers <= max(D_pad // 256, 1)
+        )
     if not enable_overflow or T_A >= max_tail:
         T_A = _round_up(max_tail, tail_pad_multiple)
 

@@ -118,7 +118,8 @@ class TestOverflowTail:
         # outlier: many distinct ultra-rare terms
         corpus[7] = [f"rare{i}" for i in range(60)]
         idx = eidx.build_index(corpus, doc_pad_multiple=8, pad_multiple=8)
-        split = sidx.build_split_index(idx, n_frequent=128)
+        split = sidx.build_split_index(idx, n_frequent=128,
+                                       enable_overflow=True)
         assert split.over_term_ids is not None
         queries = [["rare3", "rare55", "t2"], corpus[5][:4]]
         qids, qcnt = eidx.encode_queries(queries, idx.vocab)
