@@ -11,9 +11,9 @@ index exploits that split:
     frequent-term k in doc d, 0 when absent). Scoring a query batch is
     one (nq, K) @ (K, D) matmul — MXU work at hundreds of TFLOP/s — where
     the query side is a scattered count vector over the frequent slots.
-  * rare terms -> the doc-major compare table, but over a ~8x narrower
-    T_tail (only each doc's rare terms), with a ~2x narrower padded query
-    width.
+  * rare terms -> the doc-major compare table, narrowed to each doc's
+    rare terms only (~3-8x narrower than the full table), evaluated only
+    for the subset of queries that contain a rare term.
 
 Unique-overlap tf for the transform's prior is computed the same way: a
 presence matrix matmul for frequent terms + the tail compare's count.

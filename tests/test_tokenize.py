@@ -203,3 +203,27 @@ class TestNativeParity:
         np.testing.assert_allclose(
             np.asarray(s_n)[:, :3], np.asarray(s_p)[:, :3], rtol=1e-6
         )
+
+
+class TestNativeFallback:
+    def test_auto_falls_back_without_native(self, monkeypatch):
+        """use_native='auto' silently falls back to Python when the native
+        import fails; use_native=True propagates the error."""
+        import builtins
+
+        from bayesian_bm25_tpu.engine import tokenize as tk
+
+        real_import = builtins.__import__
+
+        def blocked(name, *args, **kwargs):
+            if "engine.native" in name or name.endswith(".native"):
+                raise ImportError("blocked for test")
+            return real_import(name, *args, **kwargs)
+
+        monkeypatch.setattr(builtins, "__import__", blocked)
+        out = tk.tokenize_texts(["Running dogs"], use_native="auto")
+        assert out == [["run", "dog"]]
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError):
+            tk.tokenize_texts(["x"], use_native=True)
