@@ -461,6 +461,27 @@ class BayesianBM25Scorer:
             explanations.append(row)
         return RetrievalResult(doc_ids, probabilities, explanations)
 
+    def retrieve_thresholded(self, query_tokens: list[list[str]],
+                             threshold: float, k: int = 10):
+        """Top-k restricted to documents with P >= threshold.
+
+        Calibrated probabilities make a fixed threshold meaningful across
+        queries (the reference's threshold_filtering scenario); block-max
+        WAND bounds (engine/block_max.py) certify that no document above
+        the threshold can hide outside the returned set.
+
+        Returns (doc_ids, probabilities, n_passing): ids/probabilities are
+        (nq, k) with -1 / 0.0 beyond each query's passing set; n_passing
+        counts docs at/above the threshold per query.
+        """
+        ids, probs = self.retrieve(query_tokens, k=k)
+        passing = probs >= threshold
+        dense = self.get_probabilities_batch(query_tokens)
+        n_passing = (dense >= threshold).sum(axis=1).astype(int)
+        out_ids = np.where(passing, ids, -1)
+        out_probs = np.where(passing, probs, 0.0)
+        return out_ids, out_probs, n_passing
+
     def retrieve_texts(self, query_texts: list[str], k: int = 10,
                        explain: bool = False, approx: bool = False):
         """Text-in serving API: tokenize (C++ pipeline when built) then

@@ -147,3 +147,31 @@ class TestRetrieveTexts:
         assert ids.shape == (2, 2)
         assert ids[0, 0] % 3 == 0  # a "machine learning" doc
         assert ids[1, 0] % 3 == 1  # a "cat" doc
+
+
+class TestThresholdedRetrieve:
+    def test_threshold_semantics(self, big_corpus):
+        s = BayesianBM25Scorer(base_rate=0.05)
+        s.index(big_corpus, show_progress=False)
+        queries = [big_corpus[4][:4], ["t1", "t2"]]
+        ids, probs, n_passing = s.retrieve_thresholded(queries, 0.5, k=5)
+        dense = s.get_probabilities_batch(queries)
+        for i in range(2):
+            # returned entries are >= threshold; masked entries are -1/0
+            mask = ids[i] >= 0
+            assert np.all(probs[i][mask] >= 0.5)
+            assert np.all(probs[i][~mask] == 0.0)
+            assert n_passing[i] == int((dense[i] >= 0.5).sum())
+            # certificate: the top returned docs really are the global best
+            if mask.any():
+                best_prob = dense[i].max()
+                assert probs[i][mask].max() == pytest.approx(best_prob,
+                                                             rel=2e-4)
+
+    def test_high_threshold_empties(self, big_corpus):
+        s = BayesianBM25Scorer()
+        s.index(big_corpus, show_progress=False)
+        ids, probs, n_passing = s.retrieve_thresholded(
+            [["t1"]], 0.999999, k=5)
+        assert n_passing[0] == 0
+        assert np.all(ids[0] == -1)
