@@ -111,11 +111,18 @@ def shard_index_arrays(mesh: Mesh, term_ids, weights, doc_lengths):
 
 
 def _local_score(term_ids, weights, qids, qcnt):
-    """Per-shard scoring: same kernel as single-chip, on the local slab."""
-    def one(q_row, c_row):
+    """Per-shard scoring: same kernel as single-chip, on the local slab.
+
+    Queries stream in chunks of 16 (lax.map batch_size) so the
+    (chunk, D_local, T) comparison intermediates stay bounded for large
+    query batches.
+    """
+    def one(args):
+        q_row, c_row = args
         return _score_one_query(term_ids, weights, q_row, c_row)
 
-    return jax.vmap(one)(qids, qcnt)
+    return jax.lax.map(one, (qids, qcnt),
+                       batch_size=min(16, qids.shape[0]))
 
 
 def sharded_retrieve_topk(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,

@@ -103,3 +103,36 @@ class TestSearch:
             mf.get_probabilities(["x"])
         with pytest.raises(RuntimeError):
             mf.add_documents([{"a": ["x"]}])
+
+
+class TestMultiFieldAtScale:
+    def test_split_engaged_per_field_and_consistent(self):
+        """Fields with vocab > 256 terms build split indexes; fused output
+        matches the per-field dense probabilities composition."""
+        import numpy as np
+
+        from bayesian_bm25_tpu.ops.fusion import resolve_alpha
+
+        rng = np.random.default_rng(2)
+        docs = [
+            {"title": [f"t{t}" for t in rng.zipf(1.4, size=6) % 400],
+             "body": [f"b{t}" for t in rng.zipf(1.4, size=40) % 600]}
+            for _ in range(250)
+        ]
+        mf = MultiFieldScorer(["title", "body"])
+        mf.index(docs, show_progress=False)
+        assert mf.scorers["body"]._split is not None
+        q = docs[9]["body"][:4]
+        fused = mf.get_probabilities(q)
+        p_t = mf.scorers["title"].get_probabilities(q)
+        p_b = mf.scorers["body"].get_probabilities(q)
+        from bayesian_bm25_tpu import log_odds_conjunction
+
+        expected = np.asarray(log_odds_conjunction(
+            np.column_stack([p_t, p_b]),
+            alpha=resolve_alpha("auto", 0.5),
+            weights=np.array([0.5, 0.5])))
+        np.testing.assert_allclose(fused, expected, rtol=1e-6)
+        # batched path agrees with the single-query path
+        batch = mf.get_probabilities_batch([q, ["b1"]])
+        np.testing.assert_allclose(batch[0], fused, rtol=1e-6)
