@@ -42,6 +42,11 @@ from bayesian_bm25_tpu import (  # noqa: E402
     prob_or,
 )
 from bayesian_bm25_tpu.engine.ivf import SimpleIVF  # noqa: E402
+from bayesian_bm25_tpu.utils.diagnostics import (  # noqa: E402
+    build_exact_search_diagnostics,
+    build_ivf_search_diagnostics,
+    separability_gate,
+)
 from bayesian_bm25_tpu.engine.tokenize import tokenize_texts  # noqa: E402
 from bayesian_bm25_tpu.models.probability import (  # noqa: E402
     BayesianProbabilityTransform,
@@ -96,7 +101,11 @@ def run_dataset(
     R: int = 1000,
     dense_backend: str = "auto",
     use_ivf: bool = False,
+    ivf_cells: int | None = None,
     ivf_nprobe: int | None = None,
+    ivf_iterations: int = 10,
+    ivf_seed: int = 42,
+    vpt_query_gating: bool = False,
     tune: bool = False,
     seed: int = 42,
     verbose: bool = True,
@@ -179,8 +188,10 @@ def run_dataset(
 
     ivf = None
     if use_ivf:
-        ivf = SimpleIVF.build(corpus_emb)
-        log(f"ivf built: {ivf.n_cells} cells")
+        ivf = SimpleIVF.build(corpus_emb, n_cells=ivf_cells,
+                              max_iterations=ivf_iterations, seed=ivf_seed)
+        log(f"ivf built: {ivf.n_cells} cells "
+            f"(nprobe={ivf_nprobe or ivf.default_nprobe})")
 
     # --- global kappa background (50 queries x up to 1000 docs) ------------
     bg_rows = rng.choice(len(qids_list), size=min(50, len(qids_list)),
@@ -310,6 +321,28 @@ def run_dataset(
             vpt_dp = np.asarray(vpt.calibrate_with_sample(
                 u_dist, u_dist, density_prior=fallback))
         add("VPT-DensityPrior", qid, union, vpt_dp)
+
+        # Optional per-query separability gating (hybrid_beir.py:1928-1963):
+        # blend the VPT-calibrated dense signal with the global kappa
+        # calibration by how separable this query's neighborhood looks.
+        if vpt_query_gating:
+            sorted_top = np.sort(u_dsim)[::-1]
+            if ivf is not None:
+                res_g = ivf.search(
+                    np.asarray(query_emb[qi], dtype=np.float32),
+                    k=min(50, len(union)), nprobe=ivf_nprobe)
+                diag = build_ivf_search_diagnostics(
+                    res_g.scores, res_g.cell_ids, res_g, ivf)
+            else:
+                diag = build_exact_search_diagnostics(sorted_top)
+            gate = separability_gate(diag)
+            kappa_probs = 1 / (1 + np.exp(-(u_dsim - kappa_mu) / kappa_sigma))
+            gated = gate * vpt_probs + (1.0 - gate) * kappa_probs
+            add("VPT-Gated", qid, union, gated)
+            add("Bayesian-Vector-Gated", qid, union, np.asarray(
+                balanced_log_odds_fusion(
+                    np.clip(u_probs["auto"], 1e-10, 1 - 1e-10),
+                    2 * np.clip(gated, 1e-10, 1 - 1e-10) - 1, 0.5)))
 
         # Vector-calibrated fusion
         vpt_pair = np.column_stack([
@@ -557,7 +590,11 @@ def main():
     ap.add_argument("--dense-backend", default="auto",
                     choices=["auto", "st", "hash"])
     ap.add_argument("--ivf", action="store_true")
+    ap.add_argument("--ivf-cells", type=int, default=None)
     ap.add_argument("--ivf-nprobe", type=int, default=None)
+    ap.add_argument("--ivf-iterations", type=int, default=10)
+    ap.add_argument("--ivf-seed", type=int, default=42)
+    ap.add_argument("--vpt-query-gating", action="store_true")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("-R", type=int, default=1000)
     ap.add_argument("--tune", action="store_true")
@@ -576,7 +613,10 @@ def main():
         print(ds.stats())
         res = run_dataset(
             ds, k=args.k, R=args.R, dense_backend=args.dense_backend,
-            use_ivf=args.ivf, ivf_nprobe=args.ivf_nprobe, tune=args.tune,
+            use_ivf=args.ivf, ivf_cells=args.ivf_cells,
+            ivf_nprobe=args.ivf_nprobe, ivf_iterations=args.ivf_iterations,
+            ivf_seed=args.ivf_seed, vpt_query_gating=args.vpt_query_gating,
+            tune=args.tune,
         )
         print_results(ds.name, res, args.k)
         all_results[ds.name] = res
