@@ -414,7 +414,13 @@ class BayesianBM25Scorer:
             from bayesian_bm25_tpu.engine import split_index as sidx
 
             s = self._split
-            enc = sidx.encode_queries_split(query_tokens, s)
+            # Bucket the batch size (1, 2, 4, ...) with empty pad queries:
+            # serving-latency calls with varying nq otherwise trigger a
+            # fresh compilation per batch size.
+            nq = len(query_tokens)
+            nq_pad = sidx._pow2_bucket(max(nq, 1), 1)
+            padded = list(query_tokens) + [[]] * (nq_pad - nq)
+            enc = sidx.encode_queries_split(padded, s)
             top_ids, probs, top_scores, top_tfs = sidx.retrieve_topk_split(
                 s.dense_impact, s.dense_presence, s.tail_term_ids,
                 s.tail_weights, idx.doc_lengths, idx.avgdl,
@@ -423,6 +429,10 @@ class BayesianBM25Scorer:
                 prior_free=t._training_mode == "prior_free",
                 approx=approx, overflow=sidx._overflow_of(s),
             )
+            top_ids = top_ids[:nq]
+            probs = probs[:nq]
+            top_scores = top_scores[:nq]
+            top_tfs = top_tfs[:nq]
         else:
             qids, qcnt = self._encode(query_tokens)
             top_ids, probs, top_scores, top_tfs = scoring.retrieve_topk(

@@ -227,3 +227,57 @@ class TestNativeFallback:
 
         with _pytest.raises(ImportError):
             tk.tokenize_texts(["x"], use_native=True)
+
+
+class TestNativeRobustness:
+    @pytest.fixture(scope="class")
+    def native(self):
+        try:
+            from bayesian_bm25_tpu.engine import native
+
+            native.tokenize_texts_native(["probe"])
+            return native
+        except (ImportError, OSError):
+            pytest.skip("native toolchain unavailable")
+
+    def test_unicode_and_binary_safe(self, native):
+        texts = [
+            "naïve café résumé 北京 🚀 emoji",
+            "mixed ASCII and ünïcödé words",
+            "\x00\x01 control chars", "",
+            "a" * 10000,  # very long token
+            ("word " * 5000).strip(),  # very long doc
+        ]
+        got = native.tokenize_texts_native(texts)
+        expected = [tokenize_py(t) for t in texts]
+        assert got == expected
+
+    def test_corpus_build_empty_and_oov_docs(self, native):
+        texts = ["", "the of and", "unique terms here", ""]
+        vocab, indptr, tids, counts, dlens = native.build_corpus_native(texts)
+        # stopword-only and empty docs have zero tokens
+        assert dlens[0] == 0 and dlens[1] == 0 and dlens[3] == 0
+        assert indptr[1] == indptr[0] and indptr[2] == indptr[1]
+        assert len(vocab) == 3  # uniqu/term/here stems
+
+    def test_large_vocab_stress(self, native):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        texts = [" ".join(f"tok{t}" for t in rng.integers(0, 50000, 60))
+                 for _ in range(2000)]
+        vocab, indptr, tids, counts, dlens = native.build_corpus_native(
+            texts, stem=False)
+        assert len(vocab) <= 50000
+        assert indptr[-1] == len(tids)
+        assert (counts > 0).all()
+        # spot-check one doc against the python pipeline
+        toks = tokenize_py(texts[17], stem=False)
+        got = {}
+        inv = {v: k for k, v in vocab.items()}
+        for i in range(indptr[17], indptr[18]):
+            got[inv[tids[i]]] = counts[i]
+        expected = {}
+        for t in toks:
+            expected[t] = expected.get(t, 0) + 1
+        assert got == expected
