@@ -522,7 +522,10 @@ class BayesianBM25Scorer:
             from bayesian_bm25_tpu.engine import split_index as sidx
 
             s = self._split
-            enc = sidx.encode_queries_split(query_tokens_batch, s)
+            nq = len(query_tokens_batch)
+            nq_pad = sidx._pow2_bucket(max(nq, 1), 1)
+            padded = list(query_tokens_batch) + [[]] * (nq_pad - nq)
+            enc = sidx.encode_queries_split(padded, s)
             probs = sidx.probabilities_all_split(
                 s.dense_impact, s.dense_presence, s.tail_term_ids,
                 s.tail_weights, idx.doc_lengths, idx.avgdl, *enc,
@@ -530,7 +533,7 @@ class BayesianBM25Scorer:
                 prior_free=t._training_mode == "prior_free",
                 overflow=sidx._overflow_of(s),
             )
-            return np.asarray(probs).astype(np.float64)
+            return np.asarray(probs[:nq]).astype(np.float64)
         qids, qcnt = self._encode(query_tokens_batch)
         probs, _, _ = scoring.probabilities_all(
             idx.term_ids, idx.weights, idx.doc_lengths, idx.avgdl,
