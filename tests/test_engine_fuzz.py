@@ -105,3 +105,30 @@ def test_fuzz_scorer_pipeline(seed):
                                                 abs=1e-9)
         # zero score <-> zero probability
         np.testing.assert_array_equal(dense[i] == 0, scores[i] <= 0)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_add_documents_equals_full_reindex(seed):
+    """index(A); add_documents(B) must equal index(A+B) exactly (the
+    reference's rebuild semantics, scorer.py:469-492)."""
+    from bayesian_bm25_tpu import BayesianBM25Scorer
+
+    rng = np.random.default_rng(300 + seed)
+    a = random_corpus(rng, 40, 200, 30)
+    b = random_corpus(rng, 15, 200, 30)
+
+    s1 = BayesianBM25Scorer(base_rate="auto")
+    s1.index(a, show_progress=False)
+    s1.add_documents(b, show_progress=False)
+
+    s2 = BayesianBM25Scorer(base_rate="auto")
+    s2.index(a + b, show_progress=False)
+
+    assert s1.num_docs == s2.num_docs
+    assert s1.transform.alpha == pytest.approx(s2.transform.alpha)
+    assert s1.transform.beta == pytest.approx(s2.transform.beta)
+    assert s1.base_rate == pytest.approx(s2.base_rate)
+    queries = random_queries(rng, a + b, 200, 4)
+    np.testing.assert_allclose(
+        s1.get_probabilities_batch(queries),
+        s2.get_probabilities_batch(queries), rtol=1e-6)
