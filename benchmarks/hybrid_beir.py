@@ -310,6 +310,13 @@ def run_dataset(
             u_dist, u_dist, weights=guidance))
         add("VPT-BM25Weights", qid, union, vpt_probs)
 
+        # Bandwidth ablation variants (reference README bandwidth table):
+        # Silverman factor sweep on the BM25-weighted KDE calibration.
+        for bw in (0.2, 0.5, 1.0):
+            vpt_bw = np.asarray(vpt.calibrate_with_sample(
+                u_dist, u_dist, weights=guidance, bandwidth_factor=bw))
+            add(f"VPT-BW-{bw}", qid, union, vpt_bw)
+
         if ivf is not None:
             cell_ids = ivf.assignments[union]
             prior = np.asarray(ivf_density_prior(
