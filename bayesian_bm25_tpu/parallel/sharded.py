@@ -24,11 +24,20 @@ from bayesian_bm25_tpu.ops.mathx import clamp_probability, sigmoid
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
-    """1-D device mesh over the document axis."""
+    """1-D device mesh over the document axis.
+
+    Raises if fewer than ``n_devices`` devices exist — silently truncating
+    would make an "8-way" dryrun test nothing on a 1-device backend.
+    """
     import numpy as np
 
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices for the mesh, have "
+                f"{len(devices)} on platform {devices[0].platform!r}"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
 
