@@ -15,6 +15,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from bayesian_bm25_tpu.engine import index as eidx
 from bayesian_bm25_tpu.engine import scoring
 from bayesian_bm25_tpu.models.probability import BayesianProbabilityTransform
@@ -425,14 +427,32 @@ class BayesianBM25Scorer:
             nq_pad = sidx._pow2_bucket(max(nq, 1), 1)
             padded = list(query_tokens) + [[]] * (nq_pad - nq)
             enc = sidx.encode_queries_split(padded, s)
-            top_ids, probs, top_scores, top_tfs = sidx.retrieve_topk_split(
-                s.dense_impact, s.dense_presence, s.tail_term_ids,
-                s.tail_weights, idx.doc_lengths, idx.avgdl,
-                *enc, k_eff,
-                t.alpha, t.beta, t.base_rate, n_docs=idx.n_docs,
-                prior_free=t._training_mode == "prior_free",
-                approx=approx, overflow=sidx._overflow_of(s),
-            )
+            if s.post_doc_ids is not None:
+                # Sparse-candidate exact path: matmul + rare-postings
+                # merge (no dense tail compare, no presence matmul).
+                fslots, fcnt, trows, tqids, tqcnt = enc
+                tslots = sidx.map_tail_slots(tqids, s)
+                top_ids, probs, top_scores, top_tfs = (
+                    sidx.retrieve_topk_split_sparse(
+                        s.dense_impact, s.dense_presence, s.post_doc_ids,
+                        s.post_weights, idx.doc_lengths, idx.avgdl,
+                        jnp.asarray(fslots), jnp.asarray(fcnt),
+                        jnp.asarray(trows), jnp.asarray(tslots),
+                        jnp.asarray(tqcnt), k_eff,
+                        t.alpha, t.beta, t.base_rate, n_docs=idx.n_docs,
+                        prior_free=t._training_mode == "prior_free",
+                        approx=approx,
+                    )
+                )
+            else:
+                top_ids, probs, top_scores, top_tfs = sidx.retrieve_topk_split(
+                    s.dense_impact, s.dense_presence, s.tail_term_ids,
+                    s.tail_weights, idx.doc_lengths, idx.avgdl,
+                    *enc, k_eff,
+                    t.alpha, t.beta, t.base_rate, n_docs=idx.n_docs,
+                    prior_free=t._training_mode == "prior_free",
+                    approx=approx, overflow=sidx._overflow_of(s),
+                )
             top_ids = top_ids[:nq]
             probs = probs[:nq]
             top_scores = top_scores[:nq]

@@ -102,7 +102,9 @@ def save_scorer(path: str, scorer) -> None:
     """Serialize a fitted BayesianBM25Scorer (index + transform + config)
     to one .npz archive — a production checkpoint that avoids pickle.
 
-    The vocabulary is stored as an id-ordered newline-joined blob; device
+    The vocabulary is stored as an id-ordered UTF-8 blob plus a byte-offset
+    array (index() accepts arbitrary pre-tokenized corpora, so tokens may
+    contain any byte — offsets make the encoding delimiter-free); device
     arrays round-trip through numpy. The frequency-split accelerator is
     rebuilt on load (derived state). ``corpus_tokens`` are not persisted —
     ``add_documents`` requires re-indexing from source anyway.
@@ -114,7 +116,11 @@ def save_scorer(path: str, scorer) -> None:
     terms = [None] * idx.n_terms
     for tok, tid in idx.vocab.items():
         terms[tid] = tok
-    vocab_blob = "\n".join(terms).encode("utf-8")
+    encoded = [tok.encode("utf-8") for tok in terms]
+    vocab_blob = b"".join(encoded)
+    # offsets[i] = start byte of token i; offsets[n_terms] = total length
+    vocab_offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=vocab_offsets[1:])
     np.savez_compressed(
         path, _meta=_meta("scorer"),
         k1=scorer._k1, b=scorer._b, method=np.array([scorer._method]),
@@ -127,6 +133,7 @@ def save_scorer(path: str, scorer) -> None:
         n_docs=idx.n_docs, n_terms=idx.n_terms, avgdl=idx.avgdl,
         max_doc_terms=idx.max_doc_terms,
         vocab_blob=np.frombuffer(vocab_blob, dtype=np.uint8),
+        vocab_offsets=vocab_offsets,
         alpha=t.alpha, beta=t.beta,
         base_rate=np.nan if t.base_rate is None else t.base_rate,
         mode=np.array([t._training_mode]),
@@ -143,8 +150,14 @@ def load_scorer(path: str):
     data = np.load(path, allow_pickle=False)
     if str(data["_meta"][0]) != "scorer":
         raise ValueError("archive is not a scorer checkpoint")
-    blob = bytes(np.asarray(data["vocab_blob"])).decode("utf-8")
-    terms = blob.split("\n") if blob else []
+    blob = bytes(np.asarray(data["vocab_blob"]))
+    if "vocab_offsets" in data:
+        off = np.asarray(data["vocab_offsets"])
+        terms = [blob[off[i]:off[i + 1]].decode("utf-8")
+                 for i in range(len(off) - 1)]
+    else:  # format v1 archives: newline-joined blob
+        text = blob.decode("utf-8")
+        terms = text.split("\n") if text else []
     vocab = {tok: i for i, tok in enumerate(terms)}
 
     scorer = BayesianBM25Scorer(
