@@ -83,6 +83,7 @@ __all__ = [
     "MultiHeadAttentionLogOddsWeights",
     "PlattCalibrator",
     "RetrievalResult",
+    "ShardedBayesianBM25Scorer",
     "TemporalBayesianTransform",
     "VectorProbabilityTransform",
     "balanced_log_odds_fusion",
@@ -108,6 +109,12 @@ def __getattr__(name: str):
         from bayesian_bm25_tpu.models import scorer as _scorer
 
         return getattr(_scorer, name)
+    if name == "ShardedBayesianBM25Scorer":
+        from bayesian_bm25_tpu.parallel.sharded_scorer import (
+            ShardedBayesianBM25Scorer,
+        )
+
+        return ShardedBayesianBM25Scorer
     if name == "BlockMaxIndex":
         from bayesian_bm25_tpu.engine.block_max import BlockMaxIndex
 

@@ -65,6 +65,13 @@ class BM25Index:
     n_terms: int = 0
     avgdl: float = 0.0
     max_doc_terms: int = 0
+    # Host mirrors (set by build_index): avoid device->host pulls when
+    # building the split accelerator, and make incremental append possible
+    # (weights must be recomputed from raw counts when N/df/avgdl change).
+    term_ids_host: np.ndarray = field(repr=False, default=None)
+    term_counts_host: np.ndarray = field(repr=False, default=None)
+    weights_host: np.ndarray = field(repr=False, default=None)
+    doc_lengths_host: np.ndarray = field(repr=False, default=None)
 
     @property
     def num_docs(self) -> int:
@@ -172,20 +179,19 @@ def build_index(
     # match).
     D_pad = _round_up(n_docs, doc_pad_multiple)
     term_ids = np.full((D_pad, T), DOC_PAD, dtype=np.int32)
-    weights = np.zeros((D_pad, T), dtype=np.float32)
+    counts = np.zeros((D_pad, T), dtype=np.int32)
 
     if len(tids_flat):
         row = np.repeat(np.arange(n_docs), per_doc_terms)
         col = np.arange(len(tids_flat)) - indptr[row]
-        K = k1 * (1.0 - b + b * doc_lengths[row] / max(avgdl, 1e-12))
-        sat = counts_flat / (counts_flat + K)
-        if method in ("robertson", "atire"):
-            sat = (k1 + 1.0) * sat
         term_ids[row, col] = tids_flat
-        weights[row, col] = idf[tids_flat] * sat
+        counts[row, col] = counts_flat
 
     doc_lengths_pad = np.full(D_pad, max(avgdl, 1.0), dtype=np.float64)
     doc_lengths_pad[:n_docs] = doc_lengths
+
+    weights = _compute_weight_table(
+        term_ids, counts, doc_lengths_pad, avgdl, idf, k1, b, method)
 
     return BM25Index(
         k1=k1,
@@ -201,6 +207,106 @@ def build_index(
         n_terms=n_terms,
         avgdl=avgdl,
         max_doc_terms=T,
+        term_ids_host=term_ids,
+        term_counts_host=counts,
+        weights_host=weights,
+        doc_lengths_host=doc_lengths_pad,
+    )
+
+
+def _compute_weight_table(term_ids, counts, doc_lengths_pad, avgdl, idf,
+                          k1: float, b: float, method: str) -> np.ndarray:
+    """(D_pad, T) float32 BM25 contributions from the counts table.
+
+    Float64 throughout (matching the flat-array build path bit-for-bit);
+    pad slots (count 0) produce weight 0 exactly."""
+    K = k1 * (1.0 - b + b * doc_lengths_pad / max(avgdl, 1e-12))
+    cf = counts.astype(np.float64)
+    sat = cf / (cf + K[:, None])
+    if method in ("robertson", "atire"):
+        sat = (k1 + 1.0) * sat
+    w = np.where(term_ids >= 0, idf[np.maximum(term_ids, 0)] * sat, 0.0)
+    return w.astype(np.float32)
+
+
+def append_to_index(
+    idx: BM25Index,
+    new_corpus_tokens: list[list[str]],
+    *,
+    pad_multiple: int = 128,
+    doc_pad_multiple: int = 2048,
+) -> BM25Index:
+    """Append documents to an existing index without re-tokenizing the
+    old corpus.
+
+    The reference re-indexes everything on add_documents (scorer.py:
+    469-492) because IDF/avgdl are global; here only the NEW docs are
+    tokenized and counted — the (doc, term) count table is append-only —
+    and the per-(doc, term) weights are recomputed vectorized from the
+    counts with the updated df/N/avgdl. The result is bit-identical to a
+    full rebuild of old+new (same vocab id assignment by first-occurrence
+    order, same float64 weight formula; verified by the reindex-
+    equivalence fuzz in tests/test_engine_fuzz.py).
+    """
+    if idx.term_counts_host is None:
+        raise ValueError("index lacks host count mirrors (old checkpoint?); "
+                         "rebuild with build_index()")
+    n_old = idx.n_docs
+    n_new = len(new_corpus_tokens)
+    if n_new == 0:
+        return idx
+    vocab = idx.vocab  # mutated in place: new terms appended in
+    # first-occurrence order, exactly like a full rebuild would assign ids
+    indptr, tids_flat, counts_flat, new_len_i = _corpus_to_csr(
+        new_corpus_tokens, vocab
+    )
+    n_terms = len(vocab)
+    n_docs = n_old + n_new
+
+    df = np.bincount(tids_flat, minlength=n_terms).astype(np.int64)
+    df[: idx.n_terms] += idx.doc_frequencies
+    idf = compute_idf(np.maximum(df, 1), n_docs, idx.method)
+
+    old_dl = idx.doc_lengths_host[:n_old]
+    dl_all = np.concatenate([old_dl, new_len_i.astype(np.float64)])
+    # np.mean over the concatenated array — same pairwise-summation order
+    # as a full rebuild, so avgdl (and every weight derived from it) is
+    # bit-identical.
+    avgdl = float(np.mean(dl_all))
+
+    per_doc_terms = np.diff(indptr)
+    T = max(idx.max_doc_terms,
+            _round_up(max(int(per_doc_terms.max(initial=1)), 1), pad_multiple))
+    D_pad = _round_up(n_docs, doc_pad_multiple)
+
+    term_ids = np.full((D_pad, T), DOC_PAD, dtype=np.int32)
+    counts = np.zeros((D_pad, T), dtype=np.int32)
+    T_old = idx.max_doc_terms
+    term_ids[:n_old, :T_old] = idx.term_ids_host[:n_old]
+    counts[:n_old, :T_old] = idx.term_counts_host[:n_old]
+    if len(tids_flat):
+        row = n_old + np.repeat(np.arange(n_new), per_doc_terms)
+        col = np.arange(len(tids_flat)) - indptr[row - n_old]
+        term_ids[row, col] = tids_flat
+        counts[row, col] = counts_flat
+
+    doc_lengths_pad = np.full(D_pad, max(avgdl, 1.0), dtype=np.float64)
+    doc_lengths_pad[:n_old] = old_dl
+    doc_lengths_pad[n_old:n_docs] = new_len_i
+
+    weights = _compute_weight_table(
+        term_ids, counts, doc_lengths_pad, avgdl, idf,
+        idx.k1, idx.b, idx.method)
+
+    return BM25Index(
+        k1=idx.k1, b=idx.b, method=idx.method, vocab=vocab,
+        term_ids=jnp.asarray(term_ids),
+        weights=jnp.asarray(weights),
+        doc_lengths=jnp.asarray(doc_lengths_pad, dtype=jnp.float32),
+        doc_frequencies=df, idf=idf,
+        n_docs=n_docs, n_terms=n_terms, avgdl=avgdl, max_doc_terms=T,
+        term_ids_host=term_ids, term_counts_host=counts,
+        weights_host=weights, doc_lengths_host=doc_lengths_pad,
     )
 
 

@@ -121,6 +121,23 @@ def probabilities_all(
     return jnp.where(scores > 0, probs.astype(scores.dtype), 0.0), scores, tfs
 
 
+@partial(jax.jit, static_argnames=("k",))
+def thresholded_topk(probs, threshold: float, k: int):
+    """(ids, probs, n_passing) of the k most probable docs with
+    P >= threshold per query; ids -1 / probs 0 beyond the passing set.
+
+    Operates on a dense probability matrix, so the passing set is complete
+    (no score-ordered filter can drop a passing doc)."""
+    passing = probs >= threshold
+    n_passing = jnp.sum(passing, axis=1).astype(jnp.int32)
+    masked = jnp.where(passing, probs, -1.0)
+    top_p, top_ids = jax.lax.top_k(masked, k)
+    keep = top_p >= threshold
+    return (jnp.where(keep, top_ids, -1),
+            jnp.where(keep, top_p, 0.0),
+            n_passing)
+
+
 @partial(jax.jit, static_argnames=("k", "n_docs", "prior_free", "use_pallas"))
 def retrieve_topk(
     term_ids, weights, doc_lengths, avgdl, qids, qcnt, k: int,

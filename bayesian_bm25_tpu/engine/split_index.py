@@ -64,6 +64,8 @@ class SplitBM25Index:
     rare_slot_of_term: np.ndarray = field(repr=False, default=None)
     post_doc_ids: jnp.ndarray = field(repr=False, default=None)
     post_weights: jnp.ndarray = field(repr=False, default=None)
+    # host: true postings length (df) per rare slot, for candidate sizing
+    rare_df: np.ndarray = field(repr=False, default=None)
 
     @property
     def n_docs(self) -> int:
@@ -90,8 +92,11 @@ def build_split_index(
     single table (measured on v5e), so the spill engages only when the p90
     width is at least 2x narrower than the max AND outliers are <= D/256.
     """
-    tids = np.asarray(base.term_ids)
-    w = np.asarray(base.weights)
+    # Host mirrors avoid a device->host pull of the full table
+    tids = (base.term_ids_host if base.term_ids_host is not None
+            else np.asarray(base.term_ids))
+    w = (base.weights_host if base.weights_host is not None
+         else np.asarray(base.weights))
     D_pad, T = tids.shape
     V = base.n_terms
 
@@ -165,7 +170,7 @@ def build_split_index(
         over_ids[row_map, o_cols] = flat_tids[~in_primary]
         over_w[row_map, o_cols] = flat_w[~in_primary]
 
-    rare_slot, post_ids, post_w = _build_rare_postings(
+    rare_slot, post_ids, post_w, rare_df = _build_rare_postings(
         freq_slot, K, V, D_pad, row_idx, flat_tids, flat_w
     )
 
@@ -174,7 +179,9 @@ def build_split_index(
         n_frequent=K,
         freq_slot_of_term=freq_slot,
         dense_impact=jnp.asarray(impact, dtype=dtype),
-        dense_presence=jnp.asarray(presence, dtype=dtype),
+        # Presence entries are 0/1 — exact in bf16; halves the matrix's
+        # HBM footprint and gather/matmul traffic (accumulation stays f32).
+        dense_presence=jnp.asarray(presence, dtype=jnp.bfloat16),
         tail_term_ids=jnp.asarray(tail_ids),
         tail_weights=jnp.asarray(tail_w),
         over_term_ids=None if over_ids is None else jnp.asarray(over_ids),
@@ -183,6 +190,7 @@ def build_split_index(
         rare_slot_of_term=rare_slot,
         post_doc_ids=None if post_ids is None else jnp.asarray(post_ids),
         post_weights=None if post_w is None else jnp.asarray(post_w),
+        rare_df=rare_df,
     )
 
 
@@ -209,13 +217,14 @@ def _build_rare_postings(freq_slot, K, V, D_pad, row_idx, flat_tids, flat_w):
     if R == 0 or len(flat_tids) == 0:
         post_ids = np.full((R + 1, 8), D_pad, dtype=np.int32)
         post_w = np.zeros((R + 1, 8), dtype=np.float32)
-        return rare_slot, post_ids, post_w
+        return rare_slot, post_ids, post_w, np.zeros(R + 1, dtype=np.int64)
 
     tslot = rare_slot[flat_tids]
     cnt = np.bincount(tslot, minlength=R)
+    rare_df = np.append(cnt, 0).astype(np.int64)  # sentinel row: df 0
     P = _round_up(max(int(cnt.max()), 1), 8)
     if (R + 1) * P > _POSTINGS_MAX_ENTRIES:
-        return rare_slot, None, None
+        return rare_slot, None, None, None
 
     order = np.lexsort((row_idx, tslot))
     st = tslot[order]
@@ -226,7 +235,7 @@ def _build_rare_postings(freq_slot, K, V, D_pad, row_idx, flat_tids, flat_w):
     post_w = np.zeros((R + 1, P), dtype=np.float32)
     post_ids[st, col] = row_idx[order]
     post_w[st, col] = flat_w[order]
-    return rare_slot, post_ids, post_w
+    return rare_slot, post_ids, post_w, rare_df
 
 
 def map_tail_slots(tail_qids: np.ndarray, split: SplitBM25Index) -> np.ndarray:
@@ -488,10 +497,21 @@ def retrieve_topk_split(
     return top_ids, probs, top_scores, top_tfs
 
 
-@partial(jax.jit, static_argnames=("k", "n_docs", "prior_free", "approx"))
+def candidate_cap(split: SplitBM25Index, tail_slots: np.ndarray, k: int) -> int:
+    """Host-side candidate-set width: k leaders + the batch's max per-row
+    postings total, power-of-2 bucketed (bounded compile count). Sentinel
+    slots carry df 0, so the cap covers every valid candidate."""
+    per_row = split.rare_df[np.asarray(tail_slots)].sum(axis=1)
+    cap = k + _pow2_bucket(max(int(per_row.max()), 1), 16)
+    Qt, P = tail_slots.shape[1], split.post_doc_ids.shape[1]
+    return min(cap, k + Qt * P)
+
+
+@partial(jax.jit,
+         static_argnames=("k", "cand_cap", "n_docs", "prior_free", "approx"))
 def retrieve_topk_split_sparse(
     dense_impact, dense_presence, post_ids, post_w, doc_lengths, avgdl,
-    fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int,
+    fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
     approx: bool = False,
 ):
@@ -543,6 +563,7 @@ def retrieve_topk_split_sparse(
 
     # Candidate set per tail row: k matmul leaders ++ all postings docs.
     C = k + Qt * pid.shape[2]
+    cand_cap = min(max(cand_cap, k), C)
     cand_ids = jnp.concatenate(
         [topm_ids[tail_rows], pid.reshape(nt, -1)], axis=1)
     cand_v = jnp.concatenate(
@@ -550,17 +571,20 @@ def retrieve_topk_split_sparse(
     cand_tf = jnp.concatenate(
         [jnp.zeros((nt, k), jnp.float32),
          pvalid.astype(jnp.float32).reshape(nt, -1)], axis=1)
-    cand_valid = jnp.concatenate(
-        [jnp.ones((nt, k), bool), pvalid.reshape(nt, -1)], axis=1)
 
-    # Stable id-sort groups duplicate docs; leaders sort before postings
-    # entries of the same doc, and j-ascending postings order is kept, so
-    # summation order matches the dense kernel's fori_loop exactly.
-    sort_keys = jnp.where(cand_valid, cand_ids, D_pad)
-    order = jnp.argsort(sort_keys, axis=1, stable=True)
-    sid = jnp.take_along_axis(sort_keys, order, axis=1)
-    sv = jnp.take_along_axis(cand_v, order, axis=1)
-    stf = jnp.take_along_axis(cand_tf, order, axis=1)
+    # Stable id-sort groups duplicate docs (leaders already < n_docs and
+    # invalid postings slots carry the D_pad sentinel, so the id itself is
+    # the sort key); leaders sort before postings entries of the same doc,
+    # and j-ascending postings order is kept, so summation order matches
+    # the dense kernel's fori_loop exactly. One multi-operand lax.sort
+    # co-sorts the payloads (argsort + take_along_axis would re-gather).
+    sid, sv, stf = jax.lax.sort(
+        (cand_ids, cand_v, cand_tf), dimension=1, is_stable=True, num_keys=1)
+    # Valid candidates sort to the front; slice to the host-computed cap
+    # (k + max postings in this batch) before the expensive stages.
+    sid = sid[:, :cand_cap]
+    sv = sv[:, :cand_cap]
+    stf = stf[:, :cand_cap]
 
     sbase = scores[tail_rows[:, None], jnp.minimum(sid, D_pad - 1)]
 
@@ -572,7 +596,7 @@ def retrieve_topk_split_sparse(
     neg = jnp.full((nt, 1), -1, sid.dtype)
     tail_tot = jnp.zeros_like(sv)
     tf_tot = jnp.zeros_like(stf)
-    for d in range(min(Qt, C - 1), -1, -1):
+    for d in range(min(Qt, cand_cap - 1), -1, -1):
         if d == 0:
             same = jnp.ones(sid.shape, bool)
             sv_d, stf_d = sv, stf

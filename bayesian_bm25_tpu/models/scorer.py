@@ -67,7 +67,40 @@ class _LazyTokens:
             yield self[i]
 
     def __add__(self, other):
-        return list(self) + list(other)
+        # Chain instead of materializing: tokenizing the whole corpus on
+        # append would be a host-side cliff at large scale.
+        return _ChainedTokens([self, list(other)])
+
+
+class _ChainedTokens:
+    """Concatenated view over token sequences (lists or _LazyTokens)
+    with per-doc random access and no materialization."""
+
+    def __init__(self, parts):
+        self._parts = []
+        for p in parts:
+            if isinstance(p, _ChainedTokens):
+                self._parts.extend(p._parts)
+            else:
+                self._parts.append(p)
+        self._offsets = np.cumsum([0] + [len(p) for p in self._parts])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, i):
+        i = int(i)
+        if i < 0:
+            i += len(self)
+        part = int(np.searchsorted(self._offsets, i, side="right")) - 1
+        return self._parts[part][i - int(self._offsets[part])]
+
+    def __iter__(self):
+        for p in self._parts:
+            yield from p
+
+    def __add__(self, other):
+        return _ChainedTokens(self._parts + [list(other)])
 
 
 def _use_pallas() -> bool:
@@ -142,6 +175,17 @@ class BayesianBM25Scorer:
         else:
             self._split = None
 
+    def _build_index(self, corpus_tokens) -> eidx.BM25Index:
+        """Index-construction hook (ShardedBayesianBM25Scorer overrides
+        the pad multiple so the doc axis divides its mesh)."""
+        return eidx.build_index(
+            corpus_tokens, k1=self._k1, b=self._b, method=self._method
+        )
+
+    def _finalize_index(self) -> None:
+        """Placement hook, called whenever the index/split is (re)built
+        (sharded scorer re-places arrays over its mesh here)."""
+
     # -- properties ----------------------------------------------------------
 
     @property
@@ -193,10 +237,9 @@ class BayesianBM25Scorer:
         """
         del show_progress  # device build has no incremental progress
         self._corpus_tokens = corpus_tokens
-        self._index = eidx.build_index(
-            corpus_tokens, k1=self._k1, b=self._b, method=self._method
-        )
+        self._index = self._build_index(corpus_tokens)
         self._maybe_build_split()
+        self._finalize_index()
 
         per_query_scores = self._sample_pseudo_query_scores(corpus_tokens)
         alpha, beta = self._estimate_parameters(per_query_scores)
@@ -244,6 +287,7 @@ class BayesianBM25Scorer:
             )
         self._corpus_tokens = corpus_tokens
         self._maybe_build_split()
+        self._finalize_index()
         per_query_scores = self._sample_pseudo_query_scores(corpus_tokens)
         alpha, beta = self._estimate_parameters(per_query_scores)
         base_rate: float | None = None
@@ -432,13 +476,14 @@ class BayesianBM25Scorer:
                 # merge (no dense tail compare, no presence matmul).
                 fslots, fcnt, trows, tqids, tqcnt = enc
                 tslots = sidx.map_tail_slots(tqids, s)
+                cap = sidx.candidate_cap(s, tslots, k_eff)
                 top_ids, probs, top_scores, top_tfs = (
                     sidx.retrieve_topk_split_sparse(
                         s.dense_impact, s.dense_presence, s.post_doc_ids,
                         s.post_weights, idx.doc_lengths, idx.avgdl,
                         jnp.asarray(fslots), jnp.asarray(fcnt),
                         jnp.asarray(trows), jnp.asarray(tslots),
-                        jnp.asarray(tqcnt), k_eff,
+                        jnp.asarray(tqcnt), k_eff, cap,
                         t.alpha, t.beta, t.base_rate, n_docs=idx.n_docs,
                         prior_free=t._training_mode == "prior_free",
                         approx=approx,
@@ -497,24 +542,28 @@ class BayesianBM25Scorer:
 
     def retrieve_thresholded(self, query_tokens: list[list[str]],
                              threshold: float, k: int = 10):
-        """Top-k restricted to documents with P >= threshold.
+        """The k most probable documents with P >= threshold, per query.
 
         Calibrated probabilities make a fixed threshold meaningful across
-        queries (the reference's threshold_filtering scenario); block-max
-        WAND bounds (engine/block_max.py) certify that no document above
-        the threshold can hide outside the returned set.
+        queries (the reference's threshold_filtering scenario). One dense
+        probability pass scans every document, so the returned set is
+        complete by construction — a top-k-by-*score* filter could miss
+        passing docs because probability is not monotone in score (the
+        prior depends on tf and doc length).
 
         Returns (doc_ids, probabilities, n_passing): ids/probabilities are
-        (nq, k) with -1 / 0.0 beyond each query's passing set; n_passing
-        counts docs at/above the threshold per query.
+        (nq, k) ordered by descending probability, with -1 / 0.0 beyond
+        each query's passing set; n_passing counts all docs at/above the
+        threshold per query (possibly > k).
         """
-        ids, probs = self.retrieve(query_tokens, k=k)
-        passing = probs >= threshold
-        dense = self.get_probabilities_batch(query_tokens)
-        n_passing = (dense >= threshold).sum(axis=1).astype(int)
-        out_ids = np.where(passing, ids, -1)
-        out_probs = np.where(passing, probs, 0.0)
-        return out_ids, out_probs, n_passing
+        if self._transform is None:
+            raise RuntimeError("Call index() before retrieve_thresholded().")
+        nq = len(query_tokens)
+        dense = self._dense_probs_device(query_tokens)
+        ids, probs, n_passing = scoring.thresholded_topk(
+            dense, float(threshold), min(k, self._index.n_docs))
+        return (np.asarray(ids)[:nq], np.asarray(probs)[:nq].astype(np.float64),
+                np.asarray(n_passing)[:nq].astype(int))
 
     def retrieve_texts(self, query_texts: list[str], k: int = 10,
                        explain: bool = False, approx: bool = False):
@@ -538,6 +587,13 @@ class BayesianBM25Scorer:
         TPU-native extension: the reference only offers the single-query
         form (scorer.py:564-590); batching keeps the chip busy.
         """
+        nq = len(query_tokens_batch)
+        probs = self._dense_probs_device(query_tokens_batch)
+        return np.asarray(probs[:nq]).astype(np.float64)
+
+    def _dense_probs_device(self, query_tokens_batch) -> "jnp.ndarray":
+        """Dense probabilities as a device array (rows beyond nq are
+        batch-bucketing pads on the split path)."""
         if self._transform is None:
             raise RuntimeError("Call index() before get_probabilities().")
         idx = self._index
@@ -550,14 +606,13 @@ class BayesianBM25Scorer:
             nq_pad = sidx._pow2_bucket(max(nq, 1), 1)
             padded = list(query_tokens_batch) + [[]] * (nq_pad - nq)
             enc = sidx.encode_queries_split(padded, s)
-            probs = sidx.probabilities_all_split(
+            return sidx.probabilities_all_split(
                 s.dense_impact, s.dense_presence, s.tail_term_ids,
                 s.tail_weights, idx.doc_lengths, idx.avgdl, *enc,
                 t.alpha, t.beta, t.base_rate, n_docs=idx.n_docs,
                 prior_free=t._training_mode == "prior_free",
                 overflow=sidx._overflow_of(s),
             )
-            return np.asarray(probs[:nq]).astype(np.float64)
         qids, qcnt = self._encode(query_tokens_batch)
         probs, _, _ = scoring.probabilities_all(
             idx.term_ids, idx.weights, idx.doc_lengths, idx.avgdl,
@@ -566,15 +621,41 @@ class BayesianBM25Scorer:
             prior_free=t._training_mode == "prior_free",
             use_pallas=_use_pallas(),
         )
-        return np.asarray(probs).astype(np.float64)
+        return probs
 
     def add_documents(self, new_corpus_tokens, show_progress: bool = True) -> None:
-        """Append documents and rebuild (IDF changes require re-index;
-        parity with scorer.py:469-492)."""
+        """Append documents incrementally.
+
+        The reference re-indexes the whole corpus on every add
+        (scorer.py:469-492) because IDF/avgdl are global. Here only the
+        NEW docs are tokenized and counted; the engine recomputes weights
+        vectorized from its count table (bit-identical to a full rebuild,
+        see engine.index.append_to_index), then alpha/beta/base_rate are
+        re-estimated on the grown corpus with the same seed-42 protocol —
+        so the result is indistinguishable from index(old + new).
+        """
+        del show_progress
         if self._corpus_tokens is None:
             raise RuntimeError("Call index() before add_documents().")
-        self.index(self._corpus_tokens + new_corpus_tokens,
-                   show_progress=show_progress)
+        new_list = list(new_corpus_tokens)
+        if self._index is None or self._index.term_counts_host is None:
+            self.index(list(self._corpus_tokens) + new_list)
+            return
+        self._index = eidx.append_to_index(self._index, new_list)
+        self._corpus_tokens = self._corpus_tokens + new_list
+        self._maybe_build_split()
+        self._finalize_index()
+        per_query_scores = self._sample_pseudo_query_scores(self._corpus_tokens)
+        alpha, beta = self._estimate_parameters(per_query_scores)
+        base_rate: float | None = None
+        if self._user_base_rate == "auto":
+            base_rate = self._estimate_base_rate(
+                per_query_scores, len(self._corpus_tokens))
+        elif isinstance(self._user_base_rate, (int, float)):
+            base_rate = float(self._user_base_rate)
+        self._transform = BayesianProbabilityTransform(
+            alpha=alpha, beta=beta, base_rate=base_rate
+        )
 
     def _compute_tf_batch(self, doc_ids, query_tokens: list[str]) -> np.ndarray:
         """Unique-overlap counts |query_set ∩ doc_set| for given docs

@@ -135,19 +135,25 @@ def _local_score(term_ids, weights, qids, qcnt):
 
 
 def sharded_retrieve_topk(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,
-                          qids, qcnt, k: int, alpha, beta, base_rate=None):
+                          qids, qcnt, k: int, alpha, beta, base_rate=None,
+                          n_docs: int | None = None, prior_free: bool = False,
+                          return_tfs: bool = False):
     """Distributed top-k retrieval with calibrated probabilities.
 
     shard_map body: local scoring -> local top-k (global ids via shard
     offset) -> all_gather candidates -> global top-k. Probabilities are
-    computed on the merged winners only.
+    computed on the merged winners only. ``n_docs`` masks index pad rows
+    out of the merge (each shard still supplies min(k, D_local) real
+    candidates, so coverage of the true top-k is preserved); the candidate
+    gather order (shard-major, local-rank-minor over contiguously sharded
+    docs) reproduces the single-chip lowest-id tie-break exactly.
     """
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P("d", None), P("d", None), P("d"), P(None, None), P(None, None)),
-        out_specs=(P(None, None), P(None, None), P(None, None)),
+        out_specs=(P(None, None), P(None, None), P(None, None), P(None, None)),
         # Outputs are replicated by construction (derived from all_gather +
         # replicated params) but the static vma check can't infer that.
         check_vma=False,
@@ -166,17 +172,24 @@ def sharded_retrieve_topk(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,
         cand_id = jax.lax.all_gather(top_global, "d", axis=1, tiled=True)
         cand_tf = jax.lax.all_gather(top_tf, "d", axis=1, tiled=True)
         cand_dl = jax.lax.all_gather(top_dl, "d", axis=1, tiled=True)
+        if n_docs is not None:
+            cand_s = jnp.where(cand_id < n_docs, cand_s, -jnp.inf)
         merge_s, merge_pos = jax.lax.top_k(cand_s, k)
         ids = jnp.take_along_axis(cand_id, merge_pos, axis=1)
         tfs_m = jnp.take_along_axis(cand_tf, merge_pos, axis=1)
         dl_m = jnp.take_along_axis(cand_dl, merge_pos, axis=1)
+        merge_s = jnp.where(jnp.isfinite(merge_s), merge_s, 0.0)
         probs = T.score_to_probability(
-            merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate
+            merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate,
+            prior_free=prior_free,
         )
         probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
-        return ids, probs, merge_s
+        return ids, probs, merge_s, tfs_m
 
-    return body(term_ids, weights, doc_lengths, qids, qcnt)
+    ids, probs, scores, tfs = body(term_ids, weights, doc_lengths, qids, qcnt)
+    if return_tfs:
+        return ids, probs, scores, tfs
+    return ids, probs, scores
 
 
 def corpus_stats_psum(mesh: Mesh, doc_lengths, term_ids, n_terms: int):
@@ -220,7 +233,10 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
                                 tail_ids, tail_w, doc_lengths, avgdl,
                                 fslots, fcnt, tail_rows, tail_qids,
                                 tail_qcnt, k: int,
-                                alpha, beta, base_rate=None):
+                                alpha, beta, base_rate=None,
+                                n_docs: int | None = None,
+                                prior_free: bool = False,
+                                return_tfs: bool = False):
     """Distributed top-k over the frequency-split index.
 
     The frequent-term matmul shards trivially over the doc axis (each shard
@@ -236,7 +252,8 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
         in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
                   P("d"), P(None, None), P(None, None), P(None),
                   P(None, None), P(None, None)),
-        out_specs=(P(None, None), P(None, None), P(None, None)),
+        out_specs=(P(None, None), P(None, None), P(None, None),
+                   P(None, None)),
         check_vma=False,
     )
     def body(imp, pres, tids, tw, dl, fs, fc, trow, tqi, tqc):
@@ -262,20 +279,126 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
         cand_id = jax.lax.all_gather(top_global, "d", axis=1, tiled=True)
         cand_tf = jax.lax.all_gather(top_tf, "d", axis=1, tiled=True)
         cand_dl = jax.lax.all_gather(top_dl, "d", axis=1, tiled=True)
+        if n_docs is not None:
+            cand_s = jnp.where(cand_id < n_docs, cand_s, -jnp.inf)
         merge_s, merge_pos = jax.lax.top_k(cand_s, k)
         ids = jnp.take_along_axis(cand_id, merge_pos, axis=1)
         tfs_m = jnp.take_along_axis(cand_tf, merge_pos, axis=1)
         dl_m = jnp.take_along_axis(cand_dl, merge_pos, axis=1)
+        merge_s = jnp.where(jnp.isfinite(merge_s), merge_s, 0.0)
         probs = T.score_to_probability(
-            merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate
+            merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate,
+            prior_free=prior_free,
         )
         probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
-        return ids, probs, merge_s
+        return ids, probs, merge_s, tfs_m
 
-    return body(dense_impact, dense_presence, tail_ids, tail_w, doc_lengths,
+    out = body(dense_impact, dense_presence, tail_ids, tail_w, doc_lengths,
+               jnp.asarray(fslots), jnp.asarray(fcnt),
+               jnp.asarray(tail_rows), jnp.asarray(tail_qids),
+               jnp.asarray(tail_qcnt))
+    if return_tfs:
+        return out
+    return out[:3]
+
+
+def sharded_scores_all(mesh: Mesh, term_ids, weights, qids, qcnt):
+    """Dense (nq, D) BM25 scores + unique-overlap tf over the sharded
+    corpus; outputs stay document-sharded along axis 1 (no gather — the
+    host assembles on pull, or downstream sharded ops consume in place)."""
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("d", None), P("d", None), P(None, None), P(None, None)),
+        out_specs=(P(None, "d"), P(None, "d")),
+        check_vma=False,
+    )
+    def body(tids, w, qi, qc):
+        return _local_score(tids, w, qi, qc)
+
+    return body(term_ids, weights, qids, qcnt)
+
+
+def sharded_probabilities_all(mesh: Mesh, term_ids, weights, doc_lengths,
+                              avgdl, qids, qcnt, alpha, beta,
+                              base_rate=None, prior_free: bool = False):
+    """Dense calibrated probabilities (nq, D) over the sharded corpus,
+    document-sharded along axis 1. Pad rows keep probability 0 (score 0)."""
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("d", None), P("d", None), P("d"),
+                  P(None, None), P(None, None)),
+        out_specs=P(None, "d"),
+        check_vma=False,
+    )
+    def body(tids, w, dl, qi, qc):
+        scores, tfs = _local_score(tids, w, qi, qc)
+        dlr = (dl / avgdl)[None, :]
+        probs = T.score_to_probability(
+            scores, tfs, dlr, alpha, beta, base_rate, prior_free=prior_free
+        )
+        return jnp.where(scores > 0, probs.astype(scores.dtype), 0.0)
+
+    return body(term_ids, weights, doc_lengths, qids, qcnt)
+
+
+def sharded_scores_all_split(mesh: Mesh, dense_impact, dense_presence,
+                             tail_ids, tail_w, fslots, fcnt, tail_rows,
+                             tail_qids, tail_qcnt):
+    """Dense (nq, D) scores + tf via the frequency-split kernel, sharded
+    over the document axis (axis 1 of the outputs). Bit-identical per
+    element to the single-chip split kernel: each shard's matmul computes
+    the same row dot products, and the tail compare adds locally."""
+    from bayesian_bm25_tpu.engine.split_index import _densify_queries
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
+                  P(None, None), P(None, None), P(None),
+                  P(None, None), P(None, None)),
+        out_specs=(P(None, "d"), P(None, "d")),
+        check_vma=False,
+    )
+    def body(imp, pres, tids, tw, fs, fc, trow, tqi, tqc):
+        qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
+        dt = imp.dtype
+        scores = jnp.dot(qvec.astype(dt), imp.T,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        tfs = jnp.dot(qpres.astype(pres.dtype), pres.T,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+        t_scores, t_tfs = _local_score(tids, tw, tqi, tqc)
+        scores = scores.at[trow].add(t_scores)
+        tfs = tfs.at[trow].add(t_tfs)
+        return scores, tfs
+
+    return body(dense_impact, dense_presence, tail_ids, tail_w,
                 jnp.asarray(fslots), jnp.asarray(fcnt),
                 jnp.asarray(tail_rows), jnp.asarray(tail_qids),
                 jnp.asarray(tail_qcnt))
+
+
+def apply_transform_sharded(mesh: Mesh, scores, tfs, doc_lengths, avgdl,
+                            alpha, beta, base_rate=None,
+                            prior_free: bool = False):
+    """Dense probabilities from (document-sharded) dense scores/tf."""
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, "d"), P(None, "d"), P("d")),
+        out_specs=P(None, "d"),
+        check_vma=False,
+    )
+    def body(s, tf, dl):
+        dlr = (dl / avgdl)[None, :]
+        probs = T.score_to_probability(
+            s, tf, dlr, alpha, beta, base_rate, prior_free=prior_free
+        )
+        return jnp.where(s > 0, probs.astype(s.dtype), 0.0)
+
+    return body(scores, tfs, doc_lengths)
 
 
 def sharded_fit_transform(mesh: Mesh, scores, labels, *, alpha0=1.0,

@@ -517,9 +517,19 @@ def run_dataset(
             tuned_t.fit(np.asarray(tr_scores), np.asarray(tr_labels),
                         learning_rate=0.05, max_iterations=2000)
 
-        # Grid search on train split
+        # Grid search on train split — the reference's sequential protocol
+        # (hybrid_beir.py:1001-1093): phase B sweeps base_rate (incl. the
+        # auto-estimated rate) on the plain Bayesian run, phase C sweeps
+        # fusion_weight at the best base rate, phase D sweeps hybrid_alpha
+        # for the log-odds-AND run at the best base rate.
+        auto_br = scorers["auto"].base_rate
         base_rates = [None, 1e-3, 5e-3, 1e-2, 5e-2, 0.1]
+        if auto_br is not None and not any(
+                br is not None and abs(br - auto_br) < 1e-10
+                for br in base_rates):
+            base_rates.append(float(auto_br))
         fusion_ws = np.arange(0.0, 1.01, 0.1)
+        hybrid_alphas = [0.0, 0.25, 0.5, 0.75, 1.0]
 
         def tuned_probs(qi, union, br):
             t = BayesianProbabilityTransform(
@@ -536,40 +546,64 @@ def run_dataset(
                 t.score_to_probability(bs, tfs, dlr)), 0.0)
             return p
 
-        def grid_eval(br, w):
+        def train_eval(make_scores_fn):
             run = {}
             for qi, qid in enumerate(qids_list[:half]):
                 _, union, pair, _, _, _ = attn_cache[qi]
-                p = tuned_probs(qi, union, br)
-                fused = np.asarray(balanced_log_odds_fusion(
-                    np.clip(p, 1e-10, 1 - 1e-10), dense_all[qi][union], w))
+                fused = make_scores_fn(qi, union)
                 order = np.argsort(-fused)
                 run[qid] = [doc_ids[union[i]] for i in order[:k]]
             m = evaluate_run(run, {q: ds.qrels[q] for q in train_q
                                    if q in ds.qrels}, k=k)
             return m[f"ndcg@{k}"]
 
-        best = (-1.0, None, 0.5)
+        # Phase B: base_rate on the plain Bayesian run
+        best_br, best_br_ndcg = None, -1.0
         for br in base_rates:
-            for w in fusion_ws:
-                score = grid_eval(br, round(float(w), 2))
-                if score > best[0]:
-                    best = (score, br, float(w))
-        log(f"grid search best: ndcg={best[0]:.4f} br={best[1]} w={best[2]}")
+            s = train_eval(lambda qi, u: tuned_probs(qi, u, br))
+            if s > best_br_ndcg:
+                best_br_ndcg, best_br = s, br
+
+        # Phase C: fusion_weight at the best base rate (balanced fusion)
+        def balanced_scores(qi, union, w):
+            p = tuned_probs(qi, union, best_br)
+            return np.asarray(balanced_log_odds_fusion(
+                np.clip(p, 1e-10, 1 - 1e-10), dense_all[qi][union], w))
+
+        best_w, best_w_ndcg = 0.5, -1.0
+        for w in fusion_ws:
+            w = round(float(w), 2)
+            s = train_eval(lambda qi, u: balanced_scores(qi, u, w))
+            if s > best_w_ndcg:
+                best_w_ndcg, best_w = s, w
+
+        # Phase D: hybrid_alpha for the log-odds-AND run at the best rate
+        def hybrid_and_scores(qi, union, ha):
+            p = tuned_probs(qi, union, best_br)
+            u_dense_prob = np.asarray(
+                cosine_to_probability(dense_all[qi][union]))
+            return np.asarray(log_odds_conjunction(np.column_stack([
+                np.clip(p, 1e-10, 1 - 1e-10), u_dense_prob]), alpha=ha))
+
+        best_ha, best_ha_ndcg = 0.5, -1.0
+        for ha in hybrid_alphas:
+            s = train_eval(lambda qi, u: hybrid_and_scores(qi, u, ha))
+            if s > best_ha_ndcg:
+                best_ha_ndcg, best_ha = s, ha
+
+        log(f"grid search best: br={best_br} (ndcg={best_br_ndcg:.4f}) "
+            f"w={best_w} (ndcg={best_w_ndcg:.4f}) "
+            f"hybrid_alpha={best_ha} (ndcg={best_ha_ndcg:.4f})")
 
         for qi, qid in enumerate(qids_list):
             _, union, pair, _, _, _ = attn_cache[qi]
-            p = tuned_probs(qi, union, best[1])
+            p = tuned_probs(qi, union, best_br)
             add("Bayesian-Balanced-Tuned", qid, union, np.asarray(
                 balanced_log_odds_fusion(np.clip(p, 1e-10, 1 - 1e-10),
-                                         dense_all[qi][union], best[2])))
+                                         dense_all[qi][union], best_w)))
             add("Bayesian-Tuned", qid, union, p)
-            u_dense_prob = np.asarray(
-                cosine_to_probability(dense_all[qi][union]))
-            add("Bayesian-Hybrid-AND-Tuned", qid, union, np.asarray(
-                log_odds_conjunction(np.column_stack([
-                    np.clip(p, 1e-10, 1 - 1e-10), u_dense_prob]),
-                    alpha=0.5)))
+            add("Bayesian-Hybrid-AND-Tuned", qid, union,
+                hybrid_and_scores(qi, union, best_ha))
         log("tuned methods evaluated")
 
     # --- evaluation ---------------------------------------------------------

@@ -128,6 +128,26 @@ class TestHybridHarnessEndToEnd:
         assert "Convex" in results and "VPT-BM25Weights" in results
         for method, m in results.items():
             assert 0.0 <= m["ndcg@5"] <= 1.0, method
+
+    def test_mini_beir_fixture_with_tune(self):
+        """End-to-end on the checked-in BEIR-format miniature: a real
+        SciFact run is the same code path with a different --data-dir.
+        --tune exercises the full 3-axis grid (base_rate incl. auto,
+        fusion_weight, hybrid_alpha; ref hybrid_beir.py:1001-1093)."""
+        from benchmarks.hybrid_beir import run_dataset
+
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "benchmarks", "data", "mini_beir")
+        ds = load_beir_dataset(root)
+        assert len(ds.corpus) == 300 and len(ds.queries) == 24
+        assert ds.titles  # title/body multi-field path engages
+        results = run_dataset(ds, k=5, R=50, verbose=False, tune=True)
+        for m in ("Bayesian-Balanced-Tuned", "Bayesian-Tuned",
+                  "Bayesian-Hybrid-AND-Tuned", "Bayesian-MultiField"):
+            assert m in results, m
+            assert 0.0 <= results[m]["ndcg@5"] <= 1.0
+        # the fixture is topical: fusion must comfortably beat chance
+        assert results["Bayesian-Balanced"]["ndcg@5"] > 0.3
         # hybrid should not be catastrophically below BM25 on this data
         assert results["Bayesian-Balanced"]["ndcg@5"] >= \
             results["BM25"]["ndcg@5"] * 0.5

@@ -125,9 +125,18 @@ def test_add_documents_equals_full_reindex(seed):
     s2.index(a + b, show_progress=False)
 
     assert s1.num_docs == s2.num_docs
-    assert s1.transform.alpha == pytest.approx(s2.transform.alpha)
-    assert s1.transform.beta == pytest.approx(s2.transform.beta)
-    assert s1.base_rate == pytest.approx(s2.base_rate)
+    # The incremental append promises BIT-IDENTICAL index state vs rebuild
+    assert s1._index.vocab == s2._index.vocab
+    np.testing.assert_array_equal(np.asarray(s1._index.term_ids),
+                                  np.asarray(s2._index.term_ids))
+    np.testing.assert_array_equal(np.asarray(s1._index.weights),
+                                  np.asarray(s2._index.weights))
+    np.testing.assert_array_equal(s1._index.doc_frequencies,
+                                  s2._index.doc_frequencies)
+    assert s1._index.avgdl == s2._index.avgdl
+    assert s1.transform.alpha == s2.transform.alpha
+    assert s1.transform.beta == s2.transform.beta
+    assert s1.base_rate == s2.base_rate
     queries = random_queries(rng, a + b, 200, 4)
     np.testing.assert_allclose(
         s1.get_probabilities_batch(queries),

@@ -1,0 +1,158 @@
+"""ShardedBayesianBM25Scorer: the single-chip scorer battery on an 8-way
+CPU mesh, asserting agreement with the single-chip scorer: ids/ordering exact
+(the candidate merge reproduces the lowest-id tie-break), floats within
+a last-ulp tolerance (shard-local matmul tiling differs from the
+full-matrix tiling)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from bayesian_bm25_tpu import BayesianBM25Scorer, ShardedBayesianBM25Scorer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def random_corpus(rng, n_docs, vocab, max_len):
+    return [
+        [f"t{t}" for t in rng.integers(0, vocab, rng.integers(1, max_len))]
+        for _ in range(n_docs)
+    ]
+
+
+@pytest.fixture(scope="module")
+def pair():
+    """(single, sharded) scorers indexed on the same corpus."""
+    rng = np.random.default_rng(0)
+    corpus = random_corpus(rng, 400, 500, 40)
+    single = BayesianBM25Scorer(base_rate="auto")
+    single.index(corpus, show_progress=False)
+    shard = ShardedBayesianBM25Scorer(base_rate="auto", n_devices=8)
+    shard.index(corpus, show_progress=False)
+    return single, shard, corpus, rng
+
+
+class TestIndexParity:
+    def test_estimated_parameters_identical(self, pair):
+        single, shard, _, _ = pair
+        assert shard.transform.alpha == pytest.approx(
+            single.transform.alpha, rel=1e-9)
+        assert shard.transform.beta == pytest.approx(
+            single.transform.beta, rel=1e-9)
+        assert shard.base_rate == pytest.approx(single.base_rate, rel=1e-9)
+        assert shard.num_docs == single.num_docs
+        assert shard.avgdl == single.avgdl
+
+    def test_index_arrays_sharded(self, pair):
+        _, shard, _, _ = pair
+        sh = shard._index.term_ids.sharding
+        assert len(sh.device_set) == 8
+
+
+class TestQueryParity:
+    def test_retrieve_exact(self, pair):
+        single, shard, corpus, rng = pair
+        queries = [corpus[i][:5] for i in range(0, 60, 7)]
+        queries += [["zzz_oov"], [], ["t1", "t1", "t3"]]
+        i1, p1 = single.retrieve(queries, k=10)
+        i2, p2 = shard.retrieve(queries, k=10)
+        np.testing.assert_array_equal(i1, i2)
+        # shard-local matmul tiling differs from the full-matrix tiling by
+        # at most a last-ulp f32 reassociation; ids/ordering stay exact
+        np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-6)
+
+    def test_retrieve_large_k_ties(self, pair):
+        single, shard, corpus, _ = pair
+        # k > matches forces zero-score ties: pad masking + shard-major
+        # merge order must reproduce single-chip lowest-id selection
+        i1, p1 = single.retrieve([["t3"]], k=50)
+        i2, p2 = shard.retrieve([["t3"]], k=50)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(p1, p2)
+
+    def test_scores_batch_exact(self, pair):
+        single, shard, corpus, _ = pair
+        queries = [corpus[3][:4], corpus[9][:6]]
+        np.testing.assert_allclose(
+            single.get_scores_batch(queries), shard.get_scores_batch(queries),
+            rtol=1e-6, atol=2e-6)
+
+    def test_probabilities_batch_exact(self, pair):
+        single, shard, corpus, _ = pair
+        queries = [corpus[3][:4], ["t7", "t8"]]
+        np.testing.assert_allclose(
+            single.get_probabilities_batch(queries),
+            shard.get_probabilities_batch(queries), rtol=1e-5, atol=1e-6)
+
+    def test_thresholded_exact(self, pair):
+        single, shard, corpus, _ = pair
+        queries = [corpus[5][:5], corpus[11][:5]]
+        i1, p1, n1 = single.retrieve_thresholded(queries, 0.5, k=5)
+        i2, p2, n2 = shard.retrieve_thresholded(queries, 0.5, k=5)
+        np.testing.assert_array_equal(n1, n2)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-6)
+
+    def test_explain_traces(self, pair):
+        _, shard, corpus, _ = pair
+        res = shard.retrieve([corpus[2][:4]], k=3, explain=True)
+        assert res.explanations is not None
+        tr = res.explanations[0][0]
+        assert tr is not None
+        assert tr.posterior == pytest.approx(res.probabilities[0][0], rel=1e-5)
+
+
+class TestLifecycleParity:
+    def test_add_documents_exact(self, pair):
+        single, shard, corpus, rng = pair
+        extra = random_corpus(rng, 30, 600, 30)
+        s1 = BayesianBM25Scorer(base_rate="auto")
+        s1.index(corpus, show_progress=False)
+        s1.add_documents(extra)
+        s2 = ShardedBayesianBM25Scorer(base_rate="auto", n_devices=8)
+        s2.index(corpus, show_progress=False)
+        s2.add_documents(extra)
+        q = [extra[0][:5], corpus[0][:5]]
+        i1, p1 = s1.retrieve(q, k=8)
+        i2, p2 = s2.retrieve(q, k=8)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-6)
+        assert s1.transform.alpha == pytest.approx(s2.transform.alpha,
+                                                   rel=1e-6)
+
+    def test_no_split_small_vocab(self):
+        # vocab <= 256 disables the split; the term-table sharded path runs
+        rng = np.random.default_rng(5)
+        corpus = [[f"t{t}" for t in rng.integers(0, 50, 12)]
+                  for _ in range(100)]
+        s1 = BayesianBM25Scorer()
+        s1.index(corpus, show_progress=False)
+        s2 = ShardedBayesianBM25Scorer(n_devices=8)
+        s2.index(corpus, show_progress=False)
+        assert s2._split is None
+        q = [corpus[4][:4], ["t1"]]
+        i1, p1 = s1.retrieve(q, k=7)
+        i2, p2 = s2.retrieve(q, k=7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(p1, p2)
+
+    def test_index_texts(self):
+        texts = [f"document number {i} about topic {i % 7}"
+                 for i in range(64)]
+        s1 = BayesianBM25Scorer()
+        s1.index_texts(texts)
+        s2 = ShardedBayesianBM25Scorer(n_devices=8)
+        s2.index_texts(texts)
+        i1, p1 = s1.retrieve_texts(["topic 3"], k=5)
+        i2, p2 = s2.retrieve_texts(["topic 3"], k=5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(p1, p2)
+
+    def test_mesh_validation(self):
+        from bayesian_bm25_tpu.parallel.sharded import make_mesh_2d
+
+        with pytest.raises(ValueError, match="axis name 'd'"):
+            ShardedBayesianBM25Scorer(mesh=make_mesh_2d(2, 4))
