@@ -49,3 +49,22 @@ for qi in range(len(queries)):
 n, avgdl, df = sharded.corpus_stats_psum(mesh, dl, tids, idx.n_terms)
 print(f"\npsum corpus stats: N={int(n)} avgdl={float(avgdl):.2f} "
       f"df checksum={int(np.asarray(df).sum())}")
+
+# --- the user-facing form: ShardedBayesianBM25Scorer --------------------
+# Same API as the single-chip scorer; index arrays are document-sharded
+# over the mesh, retrieval merges per-shard top-k over ICI collectives.
+from bayesian_bm25_tpu import ShardedBayesianBM25Scorer  # noqa: E402
+
+scorer = ShardedBayesianBM25Scorer(mesh=mesh, base_rate="auto")
+scorer.index(corpus, show_progress=False)
+s_ids, s_probs = scorer.retrieve(queries, k=5)
+print(f"\nShardedBayesianBM25Scorer (auto base_rate="
+      f"{scorer.base_rate:.2e}):")
+for qi in range(len(queries)):
+    print(f"  q{qi}: docs {s_ids[qi].tolist()} "
+          f"probs {np.round(s_probs[qi], 3).tolist()}")
+
+scorer.add_documents([["t1", "t2", "freshly", "added"]])
+print(f"\nafter incremental add_documents: {scorer.num_docs} docs, "
+      f"retrieval still live:",
+      scorer.retrieve([["freshly"]], k=1)[0].tolist())
