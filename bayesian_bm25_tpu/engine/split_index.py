@@ -194,10 +194,10 @@ def build_split_index(
     )
 
 
-# Rare postings stop paying off past this table size (entries): a corpus
-# whose rare terms still have huge document frequencies is better served
-# by the doc-major compare tail.
-_POSTINGS_MAX_ENTRIES = 32_000_000
+# Rare postings stop paying off past this table size (entries, 8 B per
+# entry -> 1 GB cap): a corpus whose rare terms still have huge document
+# frequencies is better served by the doc-major compare tail.
+_POSTINGS_MAX_ENTRIES = 128_000_000
 
 
 def _build_rare_postings(freq_slot, K, V, D_pad, row_idx, flat_tids, flat_w):

@@ -150,28 +150,39 @@ class BayesianBM25Scorer:
         self._transform: BayesianProbabilityTransform | None = None
         self._corpus_tokens: list[list[str]] | None = None
 
-    # Split index is built when its dense matrices stay under this budget
-    # (K columns x D rows x 4 B x 2 matrices); beyond it the doc-major
-    # compare path alone is the memory-sane choice.
-    _SPLIT_BUDGET_BYTES = 1 << 30
+    # Split index is built when its dense matrices stay under this
+    # budget (impact f32/bf16 + presence bf16, K columns x D_pad rows);
+    # beyond it the doc-major compare path alone is the memory-sane
+    # choice. Past _SPLIT_BF16_MIN_DOCS the impact matrix is stored in
+    # bfloat16: per-element rounding is ~0.4% relative on scores (see
+    # tests/test_split_bf16.py for the ranking-tolerance story), and the
+    # halved footprint keeps K large — which the sparse-candidate
+    # retrieve path needs, because rare-term postings lengths are
+    # bounded by the K-th most frequent term's df.
+    _SPLIT_BUDGET_BYTES = 4 << 30
+    _SPLIT_BF16_MIN_DOCS = 1 << 18
 
     def _maybe_build_split(self) -> None:
+        import jax.numpy as _jnp
+
         from bayesian_bm25_tpu.engine import split_index as sidx
 
         idx = self._index
         D_pad = idx.term_ids.shape[0]
-        # Size K to the dense-matrix budget: even K=128 columns of MXU
-        # matmul strips most of the compare work on Zipf corpora (measured
-        # 2.3x at 1M docs with K=256).
-        k_budget = self._SPLIT_BUDGET_BYTES // (D_pad * 4 * 2)
-        # K=2048 is the measured sweet spot at 50k docs (tail-compare time
-        # drops 320 -> 205 ms/4096-query batch vs K=1024; K=4096 regresses
-        # as the matmul outgrows the tail savings). The budget clamp keeps
-        # large corpora at smaller K (e.g. K=256 at 1M docs).
+        use_bf16 = D_pad >= self._SPLIT_BF16_MIN_DOCS
+        bytes_per_col = D_pad * ((2 + 2) if use_bf16 else (4 + 2))
+        k_budget = self._SPLIT_BUDGET_BYTES // max(bytes_per_col, 1)
+        # K=2048 is the measured sweet spot at 50k docs (sparse-candidate
+        # kernel 62 ms/4096-query batch; K=1024 regresses to 85 ms as
+        # postings widen, K=3072 regresses as the matmul outgrows the
+        # savings). The budget clamp keeps huge corpora within HBM
+        # (e.g. K=1024 bf16 at 1M docs).
         K = min(2048, (k_budget // 128) * 128,
                 ((max(idx.n_terms, 1) + 127) // 128) * 128)
         if K >= 128 and idx.n_terms > 256:
-            self._split = sidx.build_split_index(idx, n_frequent=int(K))
+            self._split = sidx.build_split_index(
+                idx, n_frequent=int(K),
+                dtype=_jnp.bfloat16 if use_bf16 else _jnp.float32)
         else:
             self._split = None
 

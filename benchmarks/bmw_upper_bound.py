@@ -68,6 +68,37 @@ def main():
          "pruned frac", "unsafe"),
     )
 
+    # --- thresholded retrieval: single dense pass vs double pass --------
+    # The shipped retrieve_thresholded is ONE fused dense pass (scores ->
+    # transform -> masked top-k + count). The round-1 implementation did a
+    # top-k retrieve AND a dense pass; block skipping cannot beat the
+    # single pass here because the frequent-term matmul computes every
+    # doc's score regardless (MXU work is data-independent under XLA) —
+    # the bounds' pruned-frac above quantifies what a gather-based skip
+    # could save on the compare path only (see docs/design.md §8).
+    import time
+
+    qts = query_tokens[:16]
+    scorer.retrieve_thresholded(qts, 0.8, k=10)  # warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        ids, probs, n_passing = scorer.retrieve_thresholded(qts, 0.8, k=10)
+    t_single = (time.perf_counter() - t0) / 5
+
+    def double_pass():
+        i, p = scorer.retrieve(qts, k=10)
+        dense = scorer.get_probabilities_batch(qts)
+        return (dense >= 0.8).sum(axis=1)
+
+    double_pass()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        double_pass()
+    t_double = (time.perf_counter() - t0) / 5
+    print(f"\nthresholded retrieval: single fused pass "
+          f"{t_single * 1000:.1f} ms vs retrieve+dense double pass "
+          f"{t_double * 1000:.1f} ms  ({t_double / t_single:.2f}x)")
+
 
 if __name__ == "__main__":
     main()

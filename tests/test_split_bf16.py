@@ -1,0 +1,112 @@
+"""bfloat16 impact-matrix option (large-corpus memory mode).
+
+Past _SPLIT_BF16_MIN_DOCS the scorer stores the frequent-term impact
+matrix in bf16 (presence is always bf16 — 0/1 is exact there). These
+tests pin the tolerance story: per-element rounding is bounded by
+bf16's 2^-8 relative step, rankings stay intact on a realistic corpus,
+and the sparse-candidate path remains internally consistent (its
+exactness argument needs only non-negativity, which rounding
+preserves)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bayesian_bm25_tpu import BayesianBM25Scorer
+from bayesian_bm25_tpu.engine import index as eidx
+from bayesian_bm25_tpu.engine import split_index as sidx
+
+
+@pytest.fixture(scope="module")
+def corpus_and_queries():
+    rng = np.random.default_rng(0)
+    corpus = [[f"t{t}" for t in rng.zipf(1.3, size=60) % 3000]
+              for _ in range(3000)]
+    queries = [[f"t{t}" for t in rng.zipf(1.3, size=6) % 3000]
+               for _ in range(64)]
+    return corpus, queries
+
+
+def build_pair(corpus):
+    idx = eidx.build_index(corpus)
+    f32 = sidx.build_split_index(idx, n_frequent=512, dtype=jnp.float32)
+    bf16 = sidx.build_split_index(idx, n_frequent=512, dtype=jnp.bfloat16)
+    return idx, f32, bf16
+
+
+class TestBf16Tolerance:
+    def test_scores_within_bf16_step(self, corpus_and_queries):
+        corpus, queries = corpus_and_queries
+        idx, s32, s16 = build_pair(corpus)
+        enc = sidx.encode_queries_split(queries, s32)
+        a, _ = sidx.score_all_split(s32, *enc)
+        b, _ = sidx.score_all_split(s16, *enc)
+        a, b = np.asarray(a), np.asarray(b)
+        # bf16 has an 8-bit mantissa: each stored impact rounds within
+        # 2^-9 relative; sums of same-sign terms keep that bound.
+        np.testing.assert_allclose(b, a, rtol=2 ** -8, atol=1e-6)
+
+    def test_rankings_stable(self, corpus_and_queries):
+        corpus, queries = corpus_and_queries
+        idx, s32, s16 = build_pair(corpus)
+        k = 10
+        enc = sidx.encode_queries_split(queries, s32)
+        fslots, fcnt, trows, tqids, tqcnt = enc
+        tslots = sidx.map_tail_slots(tqids, s32)
+        args = (jnp.asarray(fslots), jnp.asarray(fcnt), jnp.asarray(trows),
+                jnp.asarray(tslots), jnp.asarray(tqcnt))
+
+        def run(s):
+            cap = sidx.candidate_cap(s, tslots, k)
+            ids, probs, _, _ = sidx.retrieve_topk_split_sparse(
+                s.dense_impact, s.dense_presence, s.post_doc_ids,
+                s.post_weights, idx.doc_lengths, idx.avgdl, *args, k, cap,
+                1.0, 2.0, 0.05, n_docs=idx.n_docs)
+            return np.asarray(ids), np.asarray(probs)
+
+        ids32, probs32 = run(s32)
+        ids16, probs16 = run(s16)
+        # top-10 sets overlap almost entirely; probabilities track
+        overlaps = [len(set(ids32[i]) & set(ids16[i])) / k
+                    for i in range(len(ids32))]
+        assert np.mean(overlaps) > 0.95
+        m = ids32 == ids16
+        np.testing.assert_allclose(probs16[m], probs32[m], rtol=2e-2,
+                                   atol=1e-4)
+
+    def test_tf_exact_in_bf16(self, corpus_and_queries):
+        """Presence / tf counts are integers — bf16 keeps them exact."""
+        corpus, queries = corpus_and_queries
+        idx, s32, s16 = build_pair(corpus)
+        enc = sidx.encode_queries_split(queries, s32)
+        _, tf32 = sidx.score_all_split(s32, *enc)
+        _, tf16 = sidx.score_all_split(s16, *enc)
+        np.testing.assert_array_equal(np.asarray(tf32), np.asarray(tf16))
+
+    def test_bf16_weights_stay_nonnegative(self, corpus_and_queries):
+        """The sparse-candidate exactness argument needs contributions
+        >= 0; bf16 rounding of non-negative values preserves that."""
+        corpus, _ = corpus_and_queries
+        _, _, s16 = build_pair(corpus)
+        assert float(jnp.min(s16.dense_impact)) >= 0.0
+        assert float(jnp.min(s16.post_weights)) >= 0.0
+
+    def test_scorer_auto_selects_dtype(self):
+        rng = np.random.default_rng(1)
+        small = [[f"t{t}" for t in rng.integers(0, 500, 12)]
+                 for _ in range(300)]
+        s = BayesianBM25Scorer()
+        s.index(small, show_progress=False)
+        assert s._split.dense_impact.dtype == jnp.float32
+        # threshold behavior is by padded doc count; patch the constant
+        # down instead of building 262k docs
+        s2 = BayesianBM25Scorer()
+        s2._SPLIT_BF16_MIN_DOCS = 64
+        s2.index(small, show_progress=False)
+        assert s2._split.dense_impact.dtype == jnp.bfloat16
+        assert s2._split.dense_presence.dtype == jnp.bfloat16
+        i1, p1 = s.retrieve([small[0][:4]], k=5)
+        i2, p2 = s2.retrieve([small[0][:4]], k=5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(p1, p2, rtol=2e-2, atol=1e-4)
