@@ -77,6 +77,13 @@ class BM25Index:
     def num_docs(self) -> int:
         return self.n_docs
 
+    def __getstate__(self):
+        # The native-encoder cache holds ctypes handles (unpicklable and
+        # process-local); it rebuilds lazily on first encode after load.
+        state = dict(self.__dict__)
+        state.pop("_native_encoder_cache", None)
+        return state
+
 
 def compute_idf(df: np.ndarray, n_docs: int, method: str) -> np.ndarray:
     """Per-term inverse document frequency for a BM25 variant."""
@@ -363,23 +370,45 @@ def build_index_from_texts(
     return build_index(corpus_tokens, k1=k1, b=b, method=method), corpus_tokens
 
 
-def encode_queries(
-    query_tokens: list[list[str]],
-    vocab: dict,
-    max_query_terms: int | None = None,
-    pad_multiple: int = 8,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Tokenized queries -> (qids, qcounts) padded arrays.
+def get_native_encoder(index):
+    """Cached native ``VocabEncoder`` for this index's vocabulary.
 
-    Each row holds the query's *unique* in-vocabulary term ids plus their
-    multiplicities, padded with QUERY_PAD / 0. Scoring then sums
-    count * weight per matched term — identical to summing per query token —
-    while the same comparison counts unique-term overlap for the tf prior.
-    OOV terms are dropped (they contribute 0 score and cannot be in any
-    doc's token set). Queries with more unique terms than the padded width
-    keep the first ``max_query_terms`` in first-occurrence order.
+    Returns None when the C++ toolchain is unavailable. The cache lives on
+    the index instance and is invalidated when the vocabulary grows
+    (``append_documents`` extends the shared vocab dict in place but
+    returns a new index, so staleness can only arise through aliasing —
+    the length guard covers it).
     """
-    nq = len(query_tokens)
+    cached = getattr(index, "_native_encoder_cache", None)
+    if cached is not None and cached[1] == len(index.vocab):
+        return cached[0]
+    try:
+        from bayesian_bm25_tpu.engine.native import VocabEncoder
+
+        enc = VocabEncoder(index.vocab)
+    except (ImportError, OSError):
+        enc = None
+    object.__setattr__(index, "_native_encoder_cache", (enc, len(index.vocab)))
+    return enc
+
+
+def query_term_pairs(query_tokens: list, vocab: dict, native_encoder=None):
+    """Queries -> deduplicated (query, term, count) triples.
+
+    Returns (pq, pt, counts) int64/int64/int arrays grouped by query
+    (ascending) with term ids ascending within each query, or None when no
+    query token is in vocabulary. The native encoder (one C++ pass over a
+    token blob) and the Python dict-loop fallback produce bit-identical
+    output.
+    """
+    if native_encoder is not None:
+        out = native_encoder.encode_tokens(query_tokens)
+        if out is not None:
+            pq32, pt32, pc32 = out
+            if len(pq32) == 0:
+                return None
+            return (pq32.astype(np.int64), pt32.astype(np.int64), pc32)
+
     get = vocab.get
     flat_q: list = []
     flat_t: list = []
@@ -389,20 +418,40 @@ def encode_queries(
             if tid is not None:
                 flat_q.append(qi)
                 flat_t.append(tid)
-
-    min_Q = _round_up(1, pad_multiple)
     if not flat_t:
-        return (np.full((nq, min_Q), QUERY_PAD, np.int32),
-                np.zeros((nq, min_Q), np.float32))
-
-    # Deduplicate (query, term) pairs with multiplicities, then scatter
-    # into the padded table — one numpy pass instead of per-query loops.
+        return None
     qarr = np.asarray(flat_q, dtype=np.int64)
     tarr = np.asarray(flat_t, dtype=np.int64)
     V = max(len(vocab), 1)
     pair, counts = np.unique(qarr * V + tarr, return_counts=True)
-    pq = pair // V
-    pt = pair % V
+    return pair // V, pair % V, counts
+
+
+def encode_queries(
+    query_tokens: list[list[str]],
+    vocab: dict,
+    max_query_terms: int | None = None,
+    pad_multiple: int = 8,
+    native_encoder=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenized queries -> (qids, qcounts) padded arrays.
+
+    Each row holds the query's *unique* in-vocabulary term ids plus their
+    multiplicities, padded with QUERY_PAD / 0. Scoring then sums
+    count * weight per matched term — identical to summing per query token —
+    while the same comparison counts unique-term overlap for the tf prior.
+    OOV terms are dropped (they contribute 0 score and cannot be in any
+    doc's token set). Queries with more unique terms than the padded width
+    keep the first ``max_query_terms`` unique terms in ascending-term-id
+    order.
+    """
+    nq = len(query_tokens)
+    min_Q = _round_up(1, pad_multiple)
+    pairs = query_term_pairs(query_tokens, vocab, native_encoder)
+    if pairs is None:
+        return (np.full((nq, min_Q), QUERY_PAD, np.int32),
+                np.zeros((nq, min_Q), np.float32))
+    pq, pt, counts = pairs
     uniq_q, start = np.unique(pq, return_index=True)
     per = np.diff(np.append(start, len(pq)))
     Q = _round_up(int(per.max()), pad_multiple)

@@ -18,8 +18,18 @@ import ctypes
 import os
 import subprocess
 import threading
+from itertools import chain as _chain
 
 import numpy as np
+
+
+def _encode_threads() -> int:
+    """Lookup threads for batch encoding, respecting cgroup CPU limits."""
+    try:
+        n = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        n = os.cpu_count() or 1
+    return max(1, min(8, n))
 
 _LIB = None
 _LOCK = threading.Lock()
@@ -59,13 +69,23 @@ def _build_library() -> str:
         raise ImportError(f"native source not found: {src}")
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
         return _SO
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", _SO]
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+           src, "-o", _SO]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except (subprocess.CalledProcessError, FileNotFoundError) as exc:
         detail = getattr(exc, "stderr", str(exc))
         raise ImportError(f"failed to build native library: {detail}") from exc
     return _SO
+
+
+class _EncodeResult(ctypes.Structure):
+    _fields_ = [
+        ("pair_q", ctypes.POINTER(ctypes.c_int32)),
+        ("pair_t", ctypes.POINTER(ctypes.c_int32)),
+        ("pair_c", ctypes.POINTER(ctypes.c_int32)),
+        ("n_pairs", ctypes.c_int64),
+    ]
 
 
 def _load():
@@ -85,6 +105,29 @@ def _load():
                 ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
             lib.bb25_free_corpus.argtypes = [ctypes.POINTER(_CorpusResult)]
+            lib.bb25_vocab_create.restype = ctypes.c_void_p
+            lib.bb25_vocab_create.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ]
+            lib.bb25_vocab_free.argtypes = [ctypes.c_void_p]
+            lib.bb25_encode_tokens.restype = ctypes.POINTER(_EncodeResult)
+            lib.bb25_encode_tokens.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+            ]
+            lib.bb25_encode_tokens_sep.restype = ctypes.POINTER(_EncodeResult)
+            lib.bb25_encode_tokens_sep.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int,
+            ]
+            lib.bb25_encode_texts.restype = ctypes.POINTER(_EncodeResult)
+            lib.bb25_encode_texts.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.bb25_free_encode.argtypes = [ctypes.POINTER(_EncodeResult)]
             _LIB = lib
     return _LIB
 
@@ -159,3 +202,97 @@ def build_corpus_native(texts: list[str], *, lowercase=True,
         return vocab, indptr, term_ids, term_counts, doc_lengths
     finally:
         lib.bb25_free_corpus(res)
+
+
+def _unpack_pairs(lib, res):
+    try:
+        r = res.contents
+        n = int(r.n_pairs)
+        if n == 0:
+            z = np.zeros(0, np.int32)
+            return z, z.copy(), z.copy()
+        pq = np.array(np.ctypeslib.as_array(r.pair_q, shape=(n,)))
+        pt = np.array(np.ctypeslib.as_array(r.pair_t, shape=(n,)))
+        pc = np.array(np.ctypeslib.as_array(r.pair_c, shape=(n,)))
+        return pq, pt, pc
+    finally:
+        lib.bb25_free_encode(res)
+
+
+class VocabEncoder:
+    """Persistent native vocabulary for batch query encoding.
+
+    Replaces the per-token Python ``dict.get`` loop in
+    ``engine/index.py:encode_queries`` / ``engine/split_index.py:
+    encode_queries_split`` with one C++ pass over a token blob.  Output
+    triples (query, term id, count) are grouped by query with term ids
+    ascending within each query — bit-identical to the numpy
+    ``np.unique`` dedup those functions perform.
+    """
+
+    def __init__(self, vocab: dict):
+        lib = _load()
+        terms = [None] * len(vocab)
+        for tok, tid in vocab.items():
+            terms[tid] = tok
+        joined = "".join(terms)
+        blob = joined.encode("utf-8")
+        if len(blob) == len(joined):  # pure ASCII: char lengths == byte lengths
+            lens = np.fromiter(map(len, terms), np.int64, len(terms))
+        else:
+            lens = np.fromiter((len(t.encode("utf-8")) for t in terms),
+                               np.int64, len(terms))
+        offsets = np.zeros(len(terms) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        self._lib = lib
+        self._free = lib.bb25_vocab_free  # bound for __del__ at shutdown
+        self._h = lib.bb25_vocab_create(
+            blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(terms))
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._free(h)
+            self._h = None
+
+    def encode_tokens(self, query_tokens: list) -> tuple | None:
+        """Pre-tokenized queries -> (pair_q, pair_t, pair_c) int32 arrays.
+
+        Ships one NUL-joined blob; token boundaries are recovered by a
+        memchr scan in C++, so Python never computes per-token lengths.
+        Returns None when a token is non-ASCII or contains NUL (the two
+        cases the blob layout can't represent) — callers fall back to the
+        Python dict loop.
+        """
+        qc = np.fromiter(map(len, query_tokens), np.int64,
+                         len(query_tokens))
+        n_tokens = int(qc.sum())
+        if n_tokens == 0:
+            z = np.zeros(0, np.int32)
+            return z, z.copy(), z.copy()
+        joined = "\x00".join(_chain.from_iterable(query_tokens))
+        try:
+            blob = joined.encode("utf-8")
+        except UnicodeEncodeError:
+            return None
+        if (len(blob) != len(joined)
+                or joined.count("\x00") != n_tokens - 1):
+            return None
+        res = self._lib.bb25_encode_tokens_sep(
+            self._h, blob, len(blob),
+            qc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(query_tokens),
+            _encode_threads() if n_tokens >= 4096 else 1)
+        return _unpack_pairs(self._lib, res)
+
+    def encode_texts(self, texts: list[str], *, lowercase=True,
+                     remove_stopwords=True, stem=True):
+        """Raw query texts -> (pair_q, pair_t, pair_c): tokenize + vocab
+        lookup + dedup in one native pass (no Python token objects)."""
+        blob, offsets = _pack_texts(texts)
+        res = self._lib.bb25_encode_texts(
+            self._h, blob,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(texts), int(lowercase), int(remove_stopwords), int(stem))
+        return _unpack_pairs(self._lib, res)

@@ -278,18 +278,11 @@ def encode_queries_split(
     slot_of = split.freq_slot_of_term
     nq = len(query_tokens)
 
-    # One dict lookup per token; everything after is vectorized numpy.
-    get = vocab.get
-    flat_q: list = []
-    flat_t: list = []
-    for qi, tokens in enumerate(query_tokens):
-        for tok in tokens:
-            tid = get(tok)
-            if tid is not None:
-                flat_q.append(qi)
-                flat_t.append(tid)
-
-    if not flat_t:
+    # One C++ pass when the native encoder is built (engine/native.py:
+    # VocabEncoder); otherwise one dict lookup per token + np.unique dedup.
+    pairs = eidx.query_term_pairs(
+        query_tokens, vocab, eidx.get_native_encoder(split.base))
+    if pairs is None:
         Qf = _round_up(1, freq_pad_multiple)
         Qt = _round_up(1, tail_pad_multiple)
         nt = _pow2_bucket(1, 16)
@@ -298,13 +291,7 @@ def encode_queries_split(
                 np.full((nt, Qt), eidx.QUERY_PAD, np.int32),
                 np.zeros((nt, Qt), np.float32))
 
-    qarr = np.asarray(flat_q, dtype=np.int64)
-    tarr = np.asarray(flat_t, dtype=np.int64)
-    # Deduplicate (query, term) pairs with multiplicities in one pass.
-    V = len(slot_of)
-    pair, counts = np.unique(qarr * V + tarr, return_counts=True)
-    pq = (pair // V).astype(np.int64)
-    pt = (pair % V).astype(np.int64)
+    pq, pt, counts = pairs
     slots = slot_of[pt]
     is_freq = slots < K
 

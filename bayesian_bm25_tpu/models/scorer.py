@@ -149,6 +149,10 @@ class BayesianBM25Scorer:
         self._split = None  # frequency-split accelerator (engine/split_index)
         self._transform: BayesianProbabilityTransform | None = None
         self._corpus_tokens: list[list[str]] | None = None
+        # Tokenizer options from index_texts; retrieve_texts must tokenize
+        # queries identically or vocab lookups silently miss.
+        self._tok_opts = dict(lowercase=True, remove_stopwords=True,
+                              stem=True)
 
     # Split index is built when its dense matrices stay under this
     # budget (impact f32/bf16 + presence bf16, K columns x D_pad rows);
@@ -275,6 +279,8 @@ class BayesianBM25Scorer:
         """
         from bayesian_bm25_tpu.engine.tokenize import tokenize_texts
 
+        self._tok_opts = dict(lowercase=lowercase,
+                              remove_stopwords=remove_stopwords, stem=stem)
         idx, corpus_tokens = eidx.build_index_from_texts(
             texts, k1=self._k1, b=self._b, method=self._method,
             lowercase=lowercase, remove_stopwords=remove_stopwords,
@@ -426,7 +432,9 @@ class BayesianBM25Scorer:
     # -- querying --------------------------------------------------------------
 
     def _encode(self, query_tokens_batch):
-        return eidx.encode_queries(query_tokens_batch, self._index.vocab)
+        return eidx.encode_queries(
+            query_tokens_batch, self._index.vocab,
+            native_encoder=eidx.get_native_encoder(self._index))
 
     def get_scores_batch(self, query_tokens_batch: list[list[str]]) -> np.ndarray:
         """Raw BM25 scores for every document, batched: (nq, num_docs)."""
@@ -580,11 +588,13 @@ class BayesianBM25Scorer:
                        explain: bool = False, approx: bool = False):
         """Text-in serving API: tokenize (C++ pipeline when built) then
         retrieve. Pair with ``index_texts`` for an end-to-end raw-text path.
+        Queries are tokenized with the options given to ``index_texts``.
         """
         from bayesian_bm25_tpu.engine.tokenize import tokenize_texts
 
-        return self.retrieve(tokenize_texts(query_texts), k=k,
-                             explain=explain, approx=approx)
+        return self.retrieve(
+            tokenize_texts(query_texts, **self._tok_opts), k=k,
+            explain=explain, approx=approx)
 
     def get_probabilities(self, query_tokens: list[str]) -> np.ndarray:
         """Calibrated probability for every document (dense, one query)."""

@@ -9,9 +9,12 @@
 // C ABI (ctypes-friendly): results are heap-allocated structs of flat
 // arrays; callers copy into numpy and free via the matching free function.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <string_view>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -358,6 +361,254 @@ void bb25_free_corpus(CorpusResult* res) {
   delete[] res->doc_lengths;
   delete[] res->vocab_blob;
   delete[] res->vocab_offsets;
+  delete res;
+}
+
+// ----- Batch query encoding against a persistent vocabulary ----------------
+//
+// A VocabHandle owns a copy of the vocab blob and a string_view hashmap
+// into it, so per-token lookups allocate nothing. Encoding dedups each
+// query's in-vocabulary terms with multiplicities and returns flat
+// (query, term, count) triples grouped by query (ascending) with term ids
+// ascending within a query — bit-identical to the numpy np.unique path in
+// engine/index.py:encode_queries / engine/split_index.py.
+
+// Flat open-addressing table (linear probing, FNV-1a): one lookup is a
+// hash + ~1 probe in a table that fits L2, vs unordered_map's chained
+// nodes (2+ cache misses each). Measured ~2.5x on the batch-encode path.
+struct VocabHandle {
+  std::string blob;
+  struct Slot {
+    uint32_t hash;  // cached full hash; empty slots have id == -1
+    int32_t id;
+    int64_t off;
+    int32_t len;
+  };
+  std::vector<Slot> slots;
+  size_t mask = 0;
+
+  static uint32_t fnv1a(const char* s, size_t n) {
+    uint32_t h = 2166136261u;
+    for (size_t i = 0; i < n; ++i) {
+      h ^= (uint8_t)s[i];
+      h *= 16777619u;
+    }
+    return h;
+  }
+
+  void build(const int64_t* offsets, int64_t n_vocab) {
+    size_t cap = 16;
+    while (cap < (size_t)n_vocab * 2) cap <<= 1;
+    mask = cap - 1;
+    slots.assign(cap, Slot{0, -1, 0, 0});
+    for (int64_t i = 0; i < n_vocab; ++i) {
+      int64_t off = offsets[i];
+      int32_t len = (int32_t)(offsets[i + 1] - offsets[i]);
+      uint32_t h = fnv1a(blob.data() + off, (size_t)len);
+      size_t at = h & mask;
+      while (slots[at].id != -1) at = (at + 1) & mask;
+      slots[at] = Slot{h, (int32_t)i, off, len};
+    }
+  }
+
+  int32_t find(const char* s, size_t n) const {
+    uint32_t h = fnv1a(s, n);
+    size_t at = h & mask;
+    while (true) {
+      const Slot& sl = slots[at];
+      if (sl.id == -1) return -1;
+      if (sl.hash == h && (size_t)sl.len == n &&
+          std::memcmp(blob.data() + sl.off, s, n) == 0)
+        return sl.id;
+      at = (at + 1) & mask;
+    }
+  }
+};
+
+struct EncodeResult {
+  int32_t* pair_q;  // n_pairs, query index (grouped ascending)
+  int32_t* pair_t;  // n_pairs, term id (ascending within query)
+  int32_t* pair_c;  // n_pairs, multiplicity
+  int64_t n_pairs;
+};
+
+void* bb25_vocab_create(const char* blob, const int64_t* offsets,
+                        int64_t n_vocab) {
+  auto* h = new VocabHandle();
+  h->blob.assign(blob, (size_t)offsets[n_vocab]);
+  h->build(offsets, n_vocab);
+  return h;
+}
+
+void bb25_vocab_free(void* h) { delete (VocabHandle*)h; }
+
+namespace {
+
+EncodeResult* pack_pairs(std::vector<int32_t>& pq, std::vector<int32_t>& pt,
+                         std::vector<int32_t>& pc) {
+  auto* res = new EncodeResult();
+  res->n_pairs = (int64_t)pq.size();
+  res->pair_q = new int32_t[pq.size() + 1];
+  res->pair_t = new int32_t[pt.size() + 1];
+  res->pair_c = new int32_t[pc.size() + 1];
+  std::memcpy(res->pair_q, pq.data(), pq.size() * sizeof(int32_t));
+  std::memcpy(res->pair_t, pt.data(), pt.size() * sizeof(int32_t));
+  std::memcpy(res->pair_c, pc.data(), pc.size() * sizeof(int32_t));
+  return res;
+}
+
+// Dedup one query's looked-up term ids into sorted (tid, count) pairs.
+// Queries are short; a small vector + sort beats a hashmap here.
+void emit_query(int32_t q, std::vector<int32_t>& tids,
+                std::vector<int32_t>* pq, std::vector<int32_t>* pt,
+                std::vector<int32_t>* pc) {
+  if (tids.empty()) return;
+  std::sort(tids.begin(), tids.end());
+  for (size_t i = 0; i < tids.size();) {
+    size_t j = i;
+    while (j < tids.size() && tids[j] == tids[i]) ++j;
+    pq->push_back(q);
+    pt->push_back(tids[i]);
+    pc->push_back((int32_t)(j - i));
+    i = j;
+  }
+}
+
+}  // namespace
+
+EncodeResult* bb25_encode_tokens(void* vh, const char* blob,
+                                 const int64_t* tok_offsets,
+                                 const int64_t* q_offsets,
+                                 int64_t n_queries) {
+  auto* h = (VocabHandle*)vh;
+  std::vector<int32_t> pq, pt, pc, tids;
+  for (int64_t q = 0; q < n_queries; ++q) {
+    tids.clear();
+    for (int64_t i = q_offsets[q]; i < q_offsets[q + 1]; ++i) {
+      int32_t id = h->find(blob + tok_offsets[i],
+                           (size_t)(tok_offsets[i + 1] - tok_offsets[i]));
+      if (id >= 0) tids.push_back(id);
+    }
+    emit_query((int32_t)q, tids, &pq, &pt, &pc);
+  }
+  return pack_pairs(pq, pt, pc);
+}
+
+// Separator-blob variant: tokens joined by '\0' (caller guarantees no
+// token contains NUL). Boundary scan + hash lookups all happen here, so
+// Python ships one join() — no per-token length pass. Lookup work is
+// sharded across threads by query chunk; output order stays deterministic
+// (chunks concatenate in order).
+EncodeResult* bb25_encode_tokens_sep(void* vh, const char* blob,
+                                     int64_t blob_len,
+                                     const int64_t* q_counts,
+                                     int64_t n_queries, int n_threads) {
+  auto* h = (VocabHandle*)vh;
+  int64_t n_tokens = 0;
+  for (int64_t q = 0; q < n_queries; ++q) n_tokens += q_counts[q];
+
+  // Token boundaries: n_tokens tokens joined by n_tokens-1 NULs.
+  std::vector<int64_t> tok_off;
+  tok_off.reserve((size_t)n_tokens + 1);
+  tok_off.push_back(0);
+  const char* p = blob;
+  const char* end = blob + blob_len;
+  while (p < end) {
+    const char* nul = (const char*)memchr(p, 0, (size_t)(end - p));
+    if (!nul) break;
+    tok_off.push_back(nul - blob);
+    p = nul + 1;
+  }
+  tok_off.push_back(blob_len);
+  // Separator-count mismatch (e.g. a stray NUL) -> empty result; the
+  // caller's pre-check makes this unreachable in practice.
+  if ((int64_t)tok_off.size() != n_tokens + 1) {
+    auto* res = new EncodeResult();
+    res->n_pairs = 0;
+    res->pair_q = new int32_t[1];
+    res->pair_t = new int32_t[1];
+    res->pair_c = new int32_t[1];
+    return res;
+  }
+
+  std::vector<int64_t> q_off((size_t)n_queries + 1, 0);
+  for (int64_t q = 0; q < n_queries; ++q) q_off[q + 1] = q_off[q] + q_counts[q];
+
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > (int)n_queries) n_threads = (int)(n_queries ? n_queries : 1);
+  struct Chunk {
+    std::vector<int32_t> pq, pt, pc;
+  };
+  std::vector<Chunk> chunks((size_t)n_threads);
+  auto work = [&](int ti) {
+    int64_t lo = n_queries * ti / n_threads;
+    int64_t hi = n_queries * (ti + 1) / n_threads;
+    std::vector<int32_t> tids;
+    for (int64_t q = lo; q < hi; ++q) {
+      tids.clear();
+      for (int64_t i = q_off[q]; i < q_off[q + 1]; ++i) {
+        // Joined-by-NUL layout: token i spans [tok_off[i] + (i>0),
+        // tok_off[i+1]) — the +1 skips the separator byte.
+        int64_t b = tok_off[i] + (i > 0 ? 1 : 0);
+        int32_t id = h->find(blob + b, (size_t)(tok_off[i + 1] - b));
+        if (id >= 0) tids.push_back(id);
+      }
+      emit_query((int32_t)q, tids, &chunks[ti].pq, &chunks[ti].pt,
+                 &chunks[ti].pc);
+    }
+  };
+  if (n_threads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
+    for (auto& t : threads) t.join();
+  }
+
+  size_t total = 0;
+  for (auto& c : chunks) total += c.pq.size();
+  auto* res = new EncodeResult();
+  res->n_pairs = (int64_t)total;
+  res->pair_q = new int32_t[total + 1];
+  res->pair_t = new int32_t[total + 1];
+  res->pair_c = new int32_t[total + 1];
+  size_t at = 0;
+  for (auto& c : chunks) {
+    std::memcpy(res->pair_q + at, c.pq.data(), c.pq.size() * sizeof(int32_t));
+    std::memcpy(res->pair_t + at, c.pt.data(), c.pt.size() * sizeof(int32_t));
+    std::memcpy(res->pair_c + at, c.pc.data(), c.pc.size() * sizeof(int32_t));
+    at += c.pq.size();
+  }
+  return res;
+}
+
+// Raw-text variant: tokenize (same pipeline as bb25_tokenize) and look up
+// in one pass — query tokens never materialize host-side Python objects.
+EncodeResult* bb25_encode_texts(void* vh, const char* blob,
+                                const int64_t* offsets, int64_t n_queries,
+                                int lowercase, int remove_stop, int stem) {
+  auto* h = (VocabHandle*)vh;
+  std::vector<int32_t> pq, pt, pc, tids;
+  std::vector<std::string> tokens;
+  for (int64_t q = 0; q < n_queries; ++q) {
+    tokens.clear();
+    tids.clear();
+    tokenize_one(blob + offsets[q], blob + offsets[q + 1], lowercase != 0,
+                 remove_stop != 0, stem != 0, &tokens);
+    for (const auto& t : tokens) {
+      int32_t id = h->find(t.data(), t.size());
+      if (id >= 0) tids.push_back(id);
+    }
+    emit_query((int32_t)q, tids, &pq, &pt, &pc);
+  }
+  return pack_pairs(pq, pt, pc);
+}
+
+void bb25_free_encode(EncodeResult* res) {
+  if (!res) return;
+  delete[] res->pair_q;
+  delete[] res->pair_t;
+  delete[] res->pair_c;
   delete res;
 }
 

@@ -1,0 +1,158 @@
+"""Native batch query encoder (engine/native.py:VocabEncoder).
+
+The C++ pair encoder must be bit-identical to the Python dict-loop +
+np.unique path in engine/index.py:query_term_pairs, including edge
+cases, and must fall back (return None) for inputs its NUL-joined blob
+layout cannot represent."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from bayesian_bm25_tpu.engine import index as eidx
+
+pytestmark = pytest.mark.skipif(
+    eidx.get_native_encoder.__module__ is None, reason="never")
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(3)
+    corpus = [[f"t{t}" for t in rng.zipf(1.4, size=30) % 2000]
+              for _ in range(1500)]
+    idx = eidx.build_index(corpus)
+    enc = eidx.get_native_encoder(idx)
+    if enc is None:
+        pytest.skip("native toolchain unavailable")
+    return idx, enc
+
+
+def assert_pairs_equal(a, b):
+    if a is None or b is None:
+        assert a is None and b is None
+        return
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestTokenPairParity:
+    def test_random_batch(self, built):
+        idx, enc = built
+        rng = np.random.default_rng(7)
+        queries = [[f"t{t}" for t in rng.zipf(1.4, size=rng.integers(1, 12))
+                    % 2000] for _ in range(256)]
+        assert_pairs_equal(
+            eidx.query_term_pairs(queries, idx.vocab, enc),
+            eidx.query_term_pairs(queries, idx.vocab, None))
+
+    @pytest.mark.parametrize("queries", [
+        [[]],                                  # empty query
+        [["zzz-oov", "yyy-oov"]],              # all OOV
+        [["t1", "t1", "t1"]],                  # multiplicity
+        [["t1"], [], ["t2", "t1"], []],        # mixed with empties
+        [[]] * 5,                              # all empty
+        [["t0"]],                              # single token batch
+    ])
+    def test_edges(self, built, queries):
+        idx, enc = built
+        assert_pairs_equal(
+            eidx.query_term_pairs(queries, idx.vocab, enc),
+            eidx.query_term_pairs(queries, idx.vocab, None))
+
+    def test_encode_queries_padded_parity(self, built):
+        idx, enc = built
+        rng = np.random.default_rng(11)
+        queries = [[f"t{t}" for t in rng.zipf(1.4, size=6) % 2000]
+                   for _ in range(64)]
+        a1, a2 = eidx.encode_queries(queries, idx.vocab)
+        b1, b2 = eidx.encode_queries(queries, idx.vocab, native_encoder=enc)
+        np.testing.assert_array_equal(a1, b1)
+        np.testing.assert_array_equal(a2, b2)
+
+
+class TestFallbacks:
+    def test_non_ascii_returns_none(self, built):
+        _, enc = built
+        assert enc.encode_tokens([["café", "t1"]]) is None
+
+    def test_nul_token_returns_none(self, built):
+        _, enc = built
+        assert enc.encode_tokens([["a\x00b", "t1"]]) is None
+
+    def test_query_term_pairs_falls_back(self, built):
+        idx, enc = built
+        queries = [["café"], ["t1", "t2"]]
+        assert_pairs_equal(
+            eidx.query_term_pairs(queries, idx.vocab, enc),
+            eidx.query_term_pairs(queries, idx.vocab, None))
+
+    def test_surrogate_token(self, built):
+        idx, enc = built
+        # Unpaired surrogate: utf-8 encode raises -> fallback, and the
+        # Python path drops it as OOV.
+        queries = [["\ud800bad", "t1"]]
+        assert enc.encode_tokens(queries) is None
+        assert_pairs_equal(
+            eidx.query_term_pairs(queries, idx.vocab, enc),
+            eidx.query_term_pairs(queries, idx.vocab, None))
+
+
+class TestTextEncode:
+    def test_matches_tokenize_then_pairs(self, built):
+        idx, enc = built
+        texts = ["t1 t17 t17 running quickly", "zzz unknown", ""]
+        from bayesian_bm25_tpu.engine.tokenize import tokenize_texts
+
+        expected = eidx.query_term_pairs(tokenize_texts(texts), idx.vocab,
+                                         None)
+        got = enc.encode_texts(texts)
+        pq, pt, pc = got
+        if expected is None:
+            assert len(pq) == 0
+        else:
+            assert_pairs_equal(
+                expected, (pq.astype(np.int64), pt.astype(np.int64), pc))
+
+    def test_tokenizer_options_respected(self, built):
+        idx, enc = built
+        # stopword "the" survives with remove_stopwords=False; both paths
+        # must agree for each option set.
+        from bayesian_bm25_tpu.engine.tokenize import tokenize_texts
+
+        texts = ["The T1 Running"]
+        for opts in (dict(lowercase=True, remove_stopwords=False, stem=False),
+                     dict(lowercase=False, remove_stopwords=True, stem=True)):
+            expected = eidx.query_term_pairs(
+                tokenize_texts(texts, **opts), idx.vocab, None)
+            pq, pt, pc = enc.encode_texts(texts, **opts)
+            if expected is None:
+                assert len(pq) == 0
+            else:
+                assert_pairs_equal(
+                    expected,
+                    (pq.astype(np.int64), pt.astype(np.int64), pc))
+
+
+class TestCache:
+    def test_cache_reused_and_invalidated(self, built):
+        idx, enc = built
+        assert eidx.get_native_encoder(idx) is enc
+        idx.vocab["__new_term__"] = len(idx.vocab)
+        enc2 = eidx.get_native_encoder(idx)
+        assert enc2 is not enc
+        pq, pt, pc = enc2.encode_tokens([["__new_term__"]])
+        assert list(pt) == [len(idx.vocab) - 1]
+        del idx.vocab["__new_term__"]
+        eidx.get_native_encoder(idx)  # rebuild back
+
+    def test_index_pickles_with_cache(self, built):
+        idx, enc = built
+        blob = pickle.dumps(idx)
+        idx2 = pickle.loads(blob)
+        assert "_native_encoder_cache" not in idx2.__dict__
+        enc2 = eidx.get_native_encoder(idx2)
+        queries = [["t1", "t2", "t1"]]
+        assert_pairs_equal(
+            eidx.query_term_pairs(queries, idx2.vocab, enc2),
+            eidx.query_term_pairs(queries, idx.vocab, enc))
