@@ -373,24 +373,28 @@ def _compare_table(table_ids, table_w, tail_qids, tail_qcnt):
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("precision",))
 def _split_score_kernel(dense_impact, dense_presence, tail_ids, tail_w,
                         fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
-                        overflow=None):
+                        overflow=None,
+                        precision=jax.lax.Precision.HIGHEST):
     """scores = scatter(fslots) @ impact.T, plus the tail compare for the
     (small) subset of queries with rare terms, scattered back by row.
     ``overflow`` = (ids, weights, doc_ids) for the few docs whose rare
     terms exceed the primary tail width."""
     qvec, qpres = _densify_queries(fslots, fcnt, dense_impact.shape[1])
     dt = dense_impact.dtype
-    # HIGHEST precision: TPU matmuls otherwise run bf16 passes, which
-    # perturbs scores ~4e-3 relative vs the compare path; full-precision
-    # passes cost ~nothing here (the matmul is contraction-dim bound).
+    # Default HIGHEST: TPU f32 matmuls otherwise run single-pass bf16,
+    # which perturbs scores ~4e-4 relative vs the compare path. The knob
+    # (scorer matmul_precision) trades exactness for MXU passes:
+    # highest = 6, high = 3 (~1e-5 rel), default = 1 (~4e-4 rel).
     scores = jnp.dot(qvec.astype(dt), dense_impact.T,
-                     precision=jax.lax.Precision.HIGHEST,
+                     precision=precision,
                      preferred_element_type=jnp.float32)
-    tfs = jnp.dot(qpres.astype(dt), dense_presence.T,
-                  precision=jax.lax.Precision.HIGHEST,
+    # The presence matmul is EXACT in one bf16 pass: 0/1 operands are
+    # representable, products are 0/1, and the MXU accumulates in f32
+    # (tf counts are far below 2^24). Never burn multi-pass here.
+    tfs = jnp.dot(qpres.astype(dense_presence.dtype), dense_presence.T,
                   preferred_element_type=jnp.float32)
 
     t_scores, t_tfs = _compare_table(tail_ids, tail_w, tail_qids, tail_qcnt)
@@ -415,23 +419,24 @@ def _overflow_of(split: SplitBM25Index):
 
 
 def score_all_split(split: SplitBM25Index, fslots, fcnt, tail_rows,
-                    tail_qids, tail_qcnt):
+                    tail_qids, tail_qcnt,
+                    precision=jax.lax.Precision.HIGHEST):
     """(nq, D_pad) scores and unique-overlap tf counts."""
     return _split_score_kernel(
         split.dense_impact, split.dense_presence,
         split.tail_term_ids, split.tail_weights,
         jnp.asarray(fslots), jnp.asarray(fcnt), jnp.asarray(tail_rows),
         jnp.asarray(tail_qids), jnp.asarray(tail_qcnt),
-        overflow=_overflow_of(split),
+        overflow=_overflow_of(split), precision=precision,
     )
 
 
-@partial(jax.jit, static_argnames=("n_docs", "prior_free"))
+@partial(jax.jit, static_argnames=("n_docs", "prior_free", "precision"))
 def probabilities_all_split(
     dense_impact, dense_presence, tail_ids, tail_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
-    overflow=None,
+    overflow=None, precision=jax.lax.Precision.HIGHEST,
 ):
     """Dense calibrated probabilities (nq, n_docs) via the split path."""
     from bayesian_bm25_tpu.ops import transform as T
@@ -439,6 +444,7 @@ def probabilities_all_split(
     scores, tfs = _split_score_kernel(
         dense_impact, dense_presence, tail_ids, tail_w,
         fslots, fcnt, tail_rows, tail_qids, tail_qcnt, overflow=overflow,
+        precision=precision,
     )
     scores = scores[:, :n_docs]
     tfs = tfs[:, :n_docs]
@@ -449,12 +455,15 @@ def probabilities_all_split(
     return jnp.where(scores > 0, probs.astype(scores.dtype), 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "n_docs", "prior_free", "approx"))
+@partial(jax.jit,
+         static_argnames=("k", "n_docs", "prior_free", "approx",
+                          "precision"))
 def retrieve_topk_split(
     dense_impact, dense_presence, tail_ids, tail_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_qids, tail_qcnt, k: int,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
     approx: bool = False, overflow=None,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     """Fused split scoring -> top-k -> Bayesian transform (hot path).
 
@@ -467,6 +476,7 @@ def retrieve_topk_split(
     scores, tfs = _split_score_kernel(
         dense_impact, dense_presence, tail_ids, tail_w,
         fslots, fcnt, tail_rows, tail_qids, tail_qcnt, overflow=overflow,
+        precision=precision,
     )
     scores = scores[:, :n_docs]
     tfs = tfs[:, :n_docs]
@@ -495,12 +505,13 @@ def candidate_cap(split: SplitBM25Index, tail_slots: np.ndarray, k: int) -> int:
 
 
 @partial(jax.jit,
-         static_argnames=("k", "cand_cap", "n_docs", "prior_free", "approx"))
+         static_argnames=("k", "cand_cap", "n_docs", "prior_free", "approx",
+                          "precision"))
 def retrieve_topk_split_sparse(
     dense_impact, dense_presence, post_ids, post_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
-    approx: bool = False,
+    approx: bool = False, precision=jax.lax.Precision.HIGHEST,
 ):
     """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
 
@@ -527,7 +538,7 @@ def retrieve_topk_split_sparse(
     qvec, qpres = _densify_queries(fslots, fcnt, K)
     dt = dense_impact.dtype
     scores = jnp.dot(qvec.astype(dt), dense_impact.T,
-                     precision=jax.lax.Precision.HIGHEST,
+                     precision=precision,
                      preferred_element_type=jnp.float32)  # (nq, D_pad)
     scores_nd = scores[:, :n_docs]
     if approx:

@@ -110,3 +110,26 @@ class TestBf16Tolerance:
         i2, p2 = s2.retrieve([small[0][:4]], k=5)
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_allclose(p1, p2, rtol=2e-2, atol=1e-4)
+
+
+class TestMatmulPrecisionKnob:
+    """matmul_precision is a TPU serving knob; on the CPU test backend
+    every setting computes identical f32 results, so these tests pin the
+    API surface (validation, pass-through compile, cross-setting
+    agreement) rather than the TPU pass counts."""
+
+    def test_invalid_raises(self):
+        with pytest.raises(ValueError, match="matmul_precision"):
+            BayesianBM25Scorer(matmul_precision="turbo")
+
+    @pytest.mark.parametrize("prec", ["highest", "high", "default"])
+    def test_settings_agree_on_cpu(self, corpus_and_queries, prec):
+        corpus, queries = corpus_and_queries
+        s = BayesianBM25Scorer(matmul_precision=prec)
+        s.index(corpus[:500], show_progress=False)
+        ids, probs = s.retrieve(queries[:8], k=5)
+        ref = BayesianBM25Scorer(matmul_precision="highest")
+        ref.index(corpus[:500], show_progress=False)
+        ids_r, probs_r = ref.retrieve(queries[:8], k=5)
+        np.testing.assert_array_equal(ids, ids_r)
+        np.testing.assert_allclose(probs, probs_r, rtol=1e-4)
