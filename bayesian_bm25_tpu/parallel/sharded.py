@@ -236,7 +236,8 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
                                 alpha, beta, base_rate=None,
                                 n_docs: int | None = None,
                                 prior_free: bool = False,
-                                return_tfs: bool = False):
+                                return_tfs: bool = False,
+                                precision=jax.lax.Precision.HIGHEST):
     """Distributed top-k over the frequency-split index.
 
     The frequent-term matmul shards trivially over the doc axis (each shard
@@ -260,10 +261,11 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
         dt = imp.dtype
         scores = jnp.dot(qvec.astype(dt), imp.T,
-                         precision=jax.lax.Precision.HIGHEST,
+                         precision=precision,
                          preferred_element_type=jnp.float32)
-        tfs = jnp.dot(qpres.astype(dt), pres.T,
-                      precision=jax.lax.Precision.HIGHEST,
+        # Presence/tf is exact in one bf16 pass (0/1 operands, f32
+        # accumulation) — same as the single-chip kernel.
+        tfs = jnp.dot(qpres.astype(pres.dtype), pres.T,
                       preferred_element_type=jnp.float32)
         t_scores, t_tfs = _local_score(tids, tw, tqi, tqc)
         scores = scores.at[trow].add(t_scores)
@@ -345,7 +347,8 @@ def sharded_probabilities_all(mesh: Mesh, term_ids, weights, doc_lengths,
 
 def sharded_scores_all_split(mesh: Mesh, dense_impact, dense_presence,
                              tail_ids, tail_w, fslots, fcnt, tail_rows,
-                             tail_qids, tail_qcnt):
+                             tail_qids, tail_qcnt,
+                             precision=jax.lax.Precision.HIGHEST):
     """Dense (nq, D) scores + tf via the frequency-split kernel, sharded
     over the document axis (axis 1 of the outputs). Bit-identical per
     element to the single-chip split kernel: each shard's matmul computes
@@ -364,10 +367,9 @@ def sharded_scores_all_split(mesh: Mesh, dense_impact, dense_presence,
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
         dt = imp.dtype
         scores = jnp.dot(qvec.astype(dt), imp.T,
-                         precision=jax.lax.Precision.HIGHEST,
+                         precision=precision,
                          preferred_element_type=jnp.float32)
         tfs = jnp.dot(qpres.astype(pres.dtype), pres.T,
-                      precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
         t_scores, t_tfs = _local_score(tids, tw, tqi, tqc)
         scores = scores.at[trow].add(t_scores)

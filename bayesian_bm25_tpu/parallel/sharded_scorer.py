@@ -142,7 +142,7 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                     s.tail_term_ids, s.tail_weights, idx.doc_lengths,
                     idx.avgdl, *enc, k_eff, t.alpha, t.beta, t.base_rate,
                     n_docs=idx.n_docs, prior_free=prior_free,
-                    return_tfs=True,
+                    return_tfs=True, precision=self._matmul_precision,
                 )
             )
         else:
@@ -188,7 +188,8 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
             enc = self._encode_split(query_tokens_batch)
             return sharded.sharded_scores_all_split(
                 self._mesh, s.dense_impact, s.dense_presence,
-                s.tail_term_ids, s.tail_weights, *enc)
+                s.tail_term_ids, s.tail_weights, *enc,
+                precision=self._matmul_precision)
         qids, qcnt = self._encode(query_tokens_batch)
         return sharded.sharded_scores_all(
             self._mesh, idx.term_ids, idx.weights,
