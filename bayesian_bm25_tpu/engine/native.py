@@ -105,6 +105,12 @@ def _load():
                 ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
             lib.bb25_free_corpus.argtypes = [ctypes.POINTER(_CorpusResult)]
+            lib.bb25_build_corpus_tokens.restype = ctypes.POINTER(
+                _CorpusResult)
+            lib.bb25_build_corpus_tokens.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ]
             lib.bb25_vocab_create.restype = ctypes.c_void_p
             lib.bb25_vocab_create.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
@@ -166,6 +172,34 @@ def tokenize_texts_native(texts: list[str], *, lowercase=True,
         lib.bb25_free_tokenize(res)
 
 
+def _unpack_corpus(lib, res, n_docs: int):
+    try:
+        r = res.contents
+        nnz = int(r.nnz)
+        n_vocab = int(r.n_vocab)
+        indptr = np.array(
+            np.ctypeslib.as_array(r.doc_indptr, shape=(n_docs + 1,))
+        )
+        term_ids = np.array(
+            np.ctypeslib.as_array(r.term_ids, shape=(max(nnz, 1),))
+        )[:nnz]
+        term_counts = np.array(
+            np.ctypeslib.as_array(r.term_counts, shape=(max(nnz, 1),))
+        )[:nnz]
+        doc_lengths = np.array(
+            np.ctypeslib.as_array(r.doc_lengths, shape=(max(n_docs, 1),))
+        )[:n_docs]
+        voc_off = np.ctypeslib.as_array(r.vocab_offsets, shape=(n_vocab + 1,))
+        vocab_blob = ctypes.string_at(r.vocab_blob, int(r.vocab_blob_size))
+        vocab = {
+            vocab_blob[voc_off[i]:voc_off[i + 1]].decode("utf-8"): i
+            for i in range(n_vocab)
+        }
+        return vocab, indptr, term_ids, term_counts, doc_lengths
+    finally:
+        lib.bb25_free_corpus(res)
+
+
 def build_corpus_native(texts: list[str], *, lowercase=True,
                         remove_stopwords=True, stem=True):
     """Tokenize + vocab + per-doc unique-term counts in one native pass.
@@ -179,29 +213,37 @@ def build_corpus_native(texts: list[str], *, lowercase=True,
         blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(texts), int(lowercase), int(remove_stopwords), int(stem),
     )
+    return _unpack_corpus(lib, res, len(texts))
+
+
+def build_corpus_tokens_native(corpus_tokens: list):
+    """Pre-tokenized corpus -> vocab + CSR in one C++ pass.
+
+    Same return contract as build_corpus_native; vocab id assignment and
+    per-doc term order are bit-compatible with the Python
+    ``_corpus_to_csr`` (global/within-doc first-occurrence). Returns None
+    when the corpus can't ship as a NUL-joined ASCII blob (non-ASCII or
+    NUL-containing tokens) — callers fall back to the Python builder.
+    """
+    lib = _load()
+    n_docs = len(corpus_tokens)
+    dc = np.fromiter(map(len, corpus_tokens), np.int64, n_docs)
+    n_tokens = int(dc.sum())
+    if n_tokens == 0:
+        return None
+    joined = "\x00".join(_chain.from_iterable(corpus_tokens))
     try:
-        r = res.contents
-        nnz = int(r.nnz)
-        n_vocab = int(r.n_vocab)
-        indptr = np.array(
-            np.ctypeslib.as_array(r.doc_indptr, shape=(len(texts) + 1,))
-        )
-        term_ids = np.array(np.ctypeslib.as_array(r.term_ids, shape=(max(nnz, 1),)))[:nnz]
-        term_counts = np.array(
-            np.ctypeslib.as_array(r.term_counts, shape=(max(nnz, 1),))
-        )[:nnz]
-        doc_lengths = np.array(
-            np.ctypeslib.as_array(r.doc_lengths, shape=(max(len(texts), 1),))
-        )[: len(texts)]
-        voc_off = np.ctypeslib.as_array(r.vocab_offsets, shape=(n_vocab + 1,))
-        vocab_blob = ctypes.string_at(r.vocab_blob, int(r.vocab_blob_size))
-        vocab = {
-            vocab_blob[voc_off[i]:voc_off[i + 1]].decode("utf-8"): i
-            for i in range(n_vocab)
-        }
-        return vocab, indptr, term_ids, term_counts, doc_lengths
-    finally:
-        lib.bb25_free_corpus(res)
+        blob = joined.encode("utf-8")
+    except UnicodeEncodeError:
+        return None
+    if len(blob) != len(joined) or joined.count("\x00") != n_tokens - 1:
+        return None
+    res = lib.bb25_build_corpus_tokens(
+        blob, len(blob),
+        dc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_docs)
+    if not res:
+        return None
+    return _unpack_corpus(lib, res, n_docs)
 
 
 def _unpack_pairs(lib, res):

@@ -280,41 +280,45 @@ struct CorpusResult {
   int64_t vocab_blob_size;
 };
 
-CorpusResult* bb25_build_corpus(const char* blob, const int64_t* offsets,
-                                int64_t n_docs, int lowercase,
-                                int remove_stop, int stem) {
-  auto* res = new CorpusResult();
+namespace {
+
+// Shared corpus-accumulation state for the two builder entry points.
+struct CorpusBuild {
   std::unordered_map<std::string, int32_t> vocab;
   std::vector<std::string> vocab_order;
   std::vector<int64_t> indptr{0};
   std::vector<int32_t> term_ids;
   std::vector<int32_t> term_counts;
   std::vector<int32_t> doc_lengths;
-
-  std::vector<std::string> tokens;
+  // Per-doc scratch reused across docs.
+  std::vector<int32_t> doc_ids;
   std::unordered_map<int32_t, int32_t> counts;
-  for (int64_t d = 0; d < n_docs; ++d) {
-    tokens.clear();
+
+  int32_t intern(const char* s, size_t n) {
+    auto it = vocab.find(std::string(s, n));  // small-string temp
+    if (it != vocab.end()) return it->second;
+    int32_t id = (int32_t)vocab_order.size();
+    vocab_order.emplace_back(s, n);
+    vocab.emplace(vocab_order.back(), id);
+    return id;
+  }
+
+  void begin_doc() {
+    doc_ids.clear();
     counts.clear();
-    tokenize_one(blob + offsets[d], blob + offsets[d + 1], lowercase != 0,
-                 remove_stop != 0, stem != 0, &tokens);
-    doc_lengths.push_back((int32_t)tokens.size());
-    for (const auto& t : tokens) {
-      auto it = vocab.find(t);
-      int32_t id;
-      if (it == vocab.end()) {
-        id = (int32_t)vocab_order.size();
-        vocab.emplace(t, id);
-        vocab_order.push_back(t);
-      } else {
-        id = it->second;
-      }
-      ++counts[id];
-    }
-    // Preserve first-occurrence order within the doc for determinism.
+  }
+
+  void add_token_id(int32_t id) {
+    doc_ids.push_back(id);
+    ++counts[id];
+  }
+
+  // Emit the doc's unique (id, count) pairs in first-occurrence order —
+  // matching engine/index.py:_corpus_to_csr's dict-insertion semantics.
+  void end_doc(int32_t n_tokens) {
+    doc_lengths.push_back(n_tokens);
     std::unordered_set<int32_t> seen;
-    for (const auto& t : tokens) {
-      int32_t id = vocab[t];
+    for (int32_t id : doc_ids) {
       if (seen.insert(id).second) {
         term_ids.push_back(id);
         term_counts.push_back(counts[id]);
@@ -322,13 +326,21 @@ CorpusResult* bb25_build_corpus(const char* blob, const int64_t* offsets,
     }
     indptr.push_back((int64_t)term_ids.size());
   }
+};
 
+CorpusResult* pack_corpus(CorpusBuild& b) {
+  auto* res = new CorpusResult();
   std::string vocab_blob;
   std::vector<int64_t> vocab_offsets{0};
-  for (const auto& t : vocab_order) {
+  for (const auto& t : b.vocab_order) {
     vocab_blob += t;
     vocab_offsets.push_back((int64_t)vocab_blob.size());
   }
+  auto& vocab_order = b.vocab_order;
+  auto& indptr = b.indptr;
+  auto& term_ids = b.term_ids;
+  auto& term_counts = b.term_counts;
+  auto& doc_lengths = b.doc_lengths;
 
   res->n_vocab = (int64_t)vocab_order.size();
   res->nnz = (int64_t)term_ids.size();
@@ -351,6 +363,62 @@ CorpusResult* bb25_build_corpus(const char* blob, const int64_t* offsets,
   std::memcpy(res->vocab_offsets, vocab_offsets.data(),
               vocab_offsets.size() * sizeof(int64_t));
   return res;
+}
+
+}  // namespace
+
+CorpusResult* bb25_build_corpus(const char* blob, const int64_t* offsets,
+                                int64_t n_docs, int lowercase,
+                                int remove_stop, int stem) {
+  CorpusBuild b;
+  std::vector<std::string> tokens;
+  for (int64_t d = 0; d < n_docs; ++d) {
+    tokens.clear();
+    b.begin_doc();
+    tokenize_one(blob + offsets[d], blob + offsets[d + 1], lowercase != 0,
+                 remove_stop != 0, stem != 0, &tokens);
+    for (const auto& t : tokens) b.add_token_id(b.intern(t.data(), t.size()));
+    b.end_doc((int32_t)tokens.size());
+  }
+  return pack_corpus(b);
+}
+
+// Pre-tokenized variant: tokens arrive as one NUL-joined blob (caller
+// guarantees ASCII tokens without NUL) with per-doc token counts. This is
+// the fresh-build fast path behind engine/index.py:build_index — vocab id
+// assignment and per-doc ordering match the Python _corpus_to_csr
+// (global/within-doc first-occurrence) bit-for-bit.
+CorpusResult* bb25_build_corpus_tokens(const char* blob, int64_t blob_len,
+                                       const int64_t* doc_counts,
+                                       int64_t n_docs) {
+  int64_t n_tokens = 0;
+  for (int64_t d = 0; d < n_docs; ++d) n_tokens += doc_counts[d];
+
+  std::vector<int64_t> tok_off;
+  tok_off.reserve((size_t)n_tokens + 1);
+  tok_off.push_back(0);
+  const char* p = blob;
+  const char* end = blob + blob_len;
+  while (p < end) {
+    const char* nul = (const char*)memchr(p, 0, (size_t)(end - p));
+    if (!nul) break;
+    tok_off.push_back(nul - blob);
+    p = nul + 1;
+  }
+  tok_off.push_back(blob_len);
+  if ((int64_t)tok_off.size() != n_tokens + 1) return nullptr;
+
+  CorpusBuild b;
+  int64_t i = 0;
+  for (int64_t d = 0; d < n_docs; ++d) {
+    b.begin_doc();
+    for (int64_t j = 0; j < doc_counts[d]; ++j, ++i) {
+      int64_t s = tok_off[i] + (i > 0 ? 1 : 0);
+      b.add_token_id(b.intern(blob + s, (size_t)(tok_off[i + 1] - s)));
+    }
+    b.end_doc((int32_t)doc_counts[d]);
+  }
+  return pack_corpus(b);
 }
 
 void bb25_free_corpus(CorpusResult* res) {

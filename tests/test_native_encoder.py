@@ -156,3 +156,52 @@ class TestCache:
         assert_pairs_equal(
             eidx.query_term_pairs(queries, idx2.vocab, enc2),
             eidx.query_term_pairs(queries, idx.vocab, enc))
+
+
+class TestNativeCorpusBuilder:
+    """build_corpus_tokens_native must be bit-compatible with the Python
+    _corpus_to_csr (vocab id assignment + per-doc term order)."""
+
+    def test_csr_parity_with_edge_docs(self):
+        from bayesian_bm25_tpu.engine.native import (
+            build_corpus_tokens_native,
+        )
+
+        rng = np.random.default_rng(21)
+        corpus = [[f"t{t}" for t in rng.zipf(1.4, size=25) % 900]
+                  for _ in range(400)]
+        corpus[3] = []                      # empty doc
+        corpus[5] = ["dup", "dup", "dup"]   # single repeated term
+        vocab_py: dict = {}
+        py = eidx._corpus_to_csr(corpus, vocab_py)
+        out = build_corpus_tokens_native(corpus)
+        if out is None:
+            pytest.skip("native toolchain unavailable")
+        vocab_nat, indptr, tids, counts, dlens = out
+        assert vocab_nat == vocab_py
+        for a, b in zip((indptr, tids, counts, dlens), py):
+            np.testing.assert_array_equal(a, b)
+
+    def test_fallback_on_unrepresentable_tokens(self):
+        from bayesian_bm25_tpu.engine.native import (
+            build_corpus_tokens_native,
+        )
+
+        assert build_corpus_tokens_native([["café"]]) is None
+        assert build_corpus_tokens_native([["a\x00b"]]) is None
+
+    def test_build_index_native_equals_python(self):
+        rng = np.random.default_rng(22)
+        corpus = [[f"t{t}" for t in rng.zipf(1.4, size=20) % 500]
+                  for _ in range(300)]
+        i1 = eidx.build_index(corpus)           # native fast path
+        vocab2: dict = {}
+        csr2 = eidx._corpus_to_csr(corpus, vocab2)
+        i2 = eidx.build_index(corpus, vocab=vocab2, csr=csr2)
+        assert i1.vocab == i2.vocab
+        np.testing.assert_array_equal(np.asarray(i1.term_ids),
+                                      np.asarray(i2.term_ids))
+        np.testing.assert_array_equal(np.asarray(i1.weights),
+                                      np.asarray(i2.weights))
+        np.testing.assert_array_equal(np.asarray(i1.doc_lengths),
+                                      np.asarray(i2.doc_lengths))
