@@ -28,10 +28,13 @@ def ndcg_at_k(ranked_relevances, all_relevances, k: int) -> float:
 
 
 def precision_at_k(ranked_relevances, k: int) -> float:
+    """P@k with the pytrec_eval / reference denominator: always k, even
+    when fewer than k documents were retrieved (ref benchmarks/
+    metrics.py:54-60)."""
     rel = np.asarray(ranked_relevances, dtype=np.float64)[:k]
     if rel.size == 0:
         return 0.0
-    return float(np.mean(rel > 0))
+    return float(np.sum(rel > 0) / k)
 
 
 def recall_at_k(ranked_relevances, n_relevant: int, k: int) -> float:
