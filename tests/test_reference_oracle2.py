@@ -231,3 +231,44 @@ class TestIRMetricsOracle:
             a = rm.average_precision(rel)
             b = M.average_precision_at_k(rel, n_rel, len(rel))
             assert b == pytest.approx(a, abs=1e-12)
+
+
+class TestBlockMaxOracle:
+    """BlockMaxIndex against the reference's (scorer.py:33-142) — the
+    build is deterministic from a score matrix, so bounds compare
+    directly. The reference class needs a transform for the Bayesian
+    bound; both sides get identically-parameterized transforms."""
+
+    def test_block_maxima_and_bounds(self, ref):
+        from bayesian_bm25_tpu import BayesianProbabilityTransform
+        from bayesian_bm25_tpu.engine.block_max import BlockMaxIndex
+
+        rng = np.random.default_rng(4)
+        score_matrix = rng.gamma(1.5, 1.0, (7, 300)) * (
+            rng.uniform(size=(7, 300)) < 0.3)
+        ra = ref["scorer"].BlockMaxIndex(block_size=64)
+        ra.build(score_matrix)
+        ob = BlockMaxIndex(block_size=64)
+        ob.build(score_matrix)
+        n_blocks = int(np.ceil(300 / 64))
+        for t in range(7):
+            for blk in range(n_blocks):
+                assert ob.block_upper_bound(t, blk) == pytest.approx(
+                    ra.block_upper_bound(t, blk), abs=1e-12)
+        rt = ref["probability"].BayesianProbabilityTransform(
+            alpha=1.0, beta=2.0, base_rate=0.05)
+        ot = BayesianProbabilityTransform(alpha=1.0, beta=2.0,
+                                          base_rate=0.05)
+        for t in range(7):
+            for blk in range(n_blocks):
+                assert ob.bayesian_block_upper_bound(
+                    t, blk, ot) == pytest.approx(
+                    ra.bayesian_block_upper_bound(t, blk, rt), abs=ATOL)
+
+    def test_invalid_block_size(self, ref):
+        from bayesian_bm25_tpu.engine.block_max import BlockMaxIndex
+
+        with pytest.raises(ValueError):
+            ref["scorer"].BlockMaxIndex(block_size=0)
+        with pytest.raises(ValueError):
+            BlockMaxIndex(block_size=0)
