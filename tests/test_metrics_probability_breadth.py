@@ -255,3 +255,31 @@ class TestSerializationBreadth:
         assert c.alpha != t.alpha or c.beta != t.beta
         c.update(1.0, 0.0, learning_rate=0.5)
         assert c.alpha != t.alpha
+
+
+class TestExportParity:
+    """Every public name the reference exports (its __init__.py __all__
+    plus the lazy __getattr__ names, ref __init__.py:34-92) must resolve
+    from this package's top level."""
+
+    REFERENCE_EXPORTS = [
+        "__version__",
+        "AttentionLogOddsWeights", "BayesianProbabilityTransform",
+        "CalibrationReport", "LearnableLogOddsWeights",
+        "MultiHeadAttentionLogOddsWeights", "VectorProbabilityTransform",
+        "balanced_log_odds_fusion", "brier_score", "calibration_report",
+        "cosine_to_probability", "expected_calibration_error", "log_loss",
+        "ivf_density_prior", "knn_density_prior", "log_odds_conjunction",
+        "prob_and", "prob_not", "prob_or", "reliability_diagram",
+        "BayesianBM25Scorer", "RetrievalResult", "BlockMaxIndex",
+        "MultiFieldScorer", "FusionDebugger", "PlattCalibrator",
+        "IsotonicCalibrator", "TemporalBayesianTransform",
+    ]
+
+    def test_all_reference_exports_resolve(self):
+        missing = [n for n in self.REFERENCE_EXPORTS if not hasattr(bb, n)]
+        assert missing == []
+
+    def test_unknown_attribute_raises(self):
+        with pytest.raises(AttributeError):
+            bb.NoSuchExport
