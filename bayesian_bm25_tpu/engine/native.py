@@ -88,6 +88,21 @@ class _EncodeResult(ctypes.Structure):
     ]
 
 
+class _JsonlResult(ctypes.Structure):
+    _fields_ = [
+        ("id_blob", ctypes.POINTER(ctypes.c_char)),
+        ("id_offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("title_blob", ctypes.POINTER(ctypes.c_char)),
+        ("title_offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("text_blob", ctypes.POINTER(ctypes.c_char)),
+        ("text_offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("n_docs", ctypes.c_int64),
+        ("id_blob_size", ctypes.c_int64),
+        ("title_blob_size", ctypes.c_int64),
+        ("text_blob_size", ctypes.c_int64),
+    ]
+
+
 def _load():
     global _LIB
     with _LOCK:
@@ -134,11 +149,48 @@ def _load():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
             lib.bb25_free_encode.argtypes = [ctypes.POINTER(_EncodeResult)]
+            lib.bb25_load_jsonl.restype = ctypes.POINTER(_JsonlResult)
+            lib.bb25_load_jsonl.argtypes = [ctypes.c_char_p]
+            lib.bb25_free_jsonl.argtypes = [ctypes.POINTER(_JsonlResult)]
             _LIB = lib
     return _LIB
 
 
-def _pack_texts(texts: list[str]):
+class BlobTexts:
+    """Texts held as one bytes blob + int64 offsets; items decode lazily.
+
+    Sequence-compatible (len / index / slice-free iteration) so it drops
+    into any ``texts: list[str]`` parameter, while bulk consumers
+    (`_pack_texts`) ship the blob without ever materializing per-document
+    Python strings.
+    """
+
+    def __init__(self, blob: bytes, offsets: np.ndarray):
+        self._blob = blob
+        self._offsets = np.asarray(offsets, dtype=np.int64)
+
+    def __len__(self) -> int:
+        return len(self._offsets) - 1
+
+    def __getitem__(self, i: int) -> str:
+        i = int(i)
+        if i < 0:
+            i += len(self)
+        if not 0 <= i < len(self):
+            raise IndexError(i)
+        o = self._offsets
+        return self._blob[o[i]:o[i + 1]].decode("utf-8", errors="replace")
+
+    def __iter__(self):
+        o = self._offsets
+        for i in range(len(self)):
+            yield self._blob[o[i]:o[i + 1]].decode("utf-8",
+                                                   errors="replace")
+
+
+def _pack_texts(texts):
+    if isinstance(texts, BlobTexts):
+        return texts._blob, texts._offsets
     encoded = [t.encode("utf-8", errors="ignore") for t in texts]
     offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
     np.cumsum([len(e) for e in encoded], out=offsets[1:])
@@ -338,3 +390,38 @@ class VocabEncoder:
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(texts), int(lowercase), int(remove_stopwords), int(stem))
         return _unpack_pairs(self._lib, res)
+
+
+def load_jsonl_native(path: str):
+    """BEIR-format .jsonl -> (ids, titles, texts) with texts/titles as
+    lazy BlobTexts (the document bodies never materialize as per-doc
+    Python strings; they flow blob-to-blob into the corpus builder).
+
+    Returns None when the file can't be opened. The C++ parser walks each
+    top-level object with depth tracking (a "text" key nested inside
+    "metadata" is skipped), decodes JSON escapes incl. \\uXXXX surrogate
+    pairs to UTF-8, and keeps only lines with a non-empty "_id".
+    """
+    lib = _load()
+    res = lib.bb25_load_jsonl(os.fsencode(path))
+    if not res:
+        return None
+    try:
+        r = res.contents
+        n = int(r.n_docs)
+
+        def unpack(blob_p, off_p, size):
+            off = np.array(np.ctypeslib.as_array(off_p, shape=(n + 1,)))
+            blob = ctypes.string_at(blob_p, int(size))
+            return blob, off
+
+        id_blob, id_off = unpack(r.id_blob, r.id_offsets, r.id_blob_size)
+        ids = [id_blob[id_off[i]:id_off[i + 1]].decode("utf-8")
+               for i in range(n)]
+        titles = BlobTexts(*unpack(r.title_blob, r.title_offsets,
+                                   r.title_blob_size))
+        texts = BlobTexts(*unpack(r.text_blob, r.text_offsets,
+                                  r.text_blob_size))
+        return ids, titles, texts
+    finally:
+        lib.bb25_free_jsonl(res)

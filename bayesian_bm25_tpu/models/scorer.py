@@ -346,6 +346,49 @@ class BayesianBM25Scorer:
             alpha=alpha, beta=beta, base_rate=base_rate
         )
 
+    def index_jsonl(self, path: str, *, lowercase: bool = True,
+                    remove_stopwords: bool = True,
+                    stem: bool = True) -> list[str]:
+        """Index a BEIR-format corpus.jsonl end-to-end natively.
+
+        The C++ data loader parses the file (depth-tracked mini-JSON:
+        "_id"/"title"/"text" at the top level, escapes and \\uXXXX
+        decoded) and hands the document bodies to the C++ corpus builder
+        as one blob — per-document text never materializes as Python
+        strings. Returns the corpus doc-id strings in index order, so
+        ``retrieve`` row indices map back to dataset ids. Falls back to a
+        Python json pass + ``index_texts`` when the native toolchain is
+        unavailable.
+        """
+        try:
+            from bayesian_bm25_tpu.engine.native import load_jsonl_native
+
+            loaded = load_jsonl_native(path)
+        except (ImportError, OSError):
+            loaded = None
+        if loaded is None:
+            import json
+
+            ids: list[str] = []
+            texts: list[str] = []
+            with open(path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    row = json.loads(line)
+                    did = str(row.get("_id", ""))
+                    if not did:
+                        continue
+                    ids.append(did)
+                    texts.append(row.get("text", ""))
+            self.index_texts(texts, lowercase=lowercase,
+                             remove_stopwords=remove_stopwords, stem=stem)
+            return ids
+        ids, _titles, texts = loaded
+        self.index_texts(texts, lowercase=lowercase,
+                         remove_stopwords=remove_stopwords, stem=stem)
+        return ids
+
     def _sample_pseudo_query_scores(self, corpus_tokens) -> list[np.ndarray]:
         """<=50 sampled docs as 5-token pseudo-queries -> per-query nonzero
         score arrays, via one batched scoring call."""

@@ -47,23 +47,38 @@ class IRDataset:
         )
 
 
+def _read_jsonl(path: str):
+    """(ids, titles, texts) from a BEIR .jsonl — C++ loader when built
+    (engine/native.py:load_jsonl_native), Python json fallback."""
+    try:
+        from bayesian_bm25_tpu.engine.native import load_jsonl_native
+
+        loaded = load_jsonl_native(path)
+        if loaded is not None:
+            ids, titles, texts = loaded
+            return ids, list(titles), list(texts)
+    except (ImportError, OSError):
+        pass
+    ids, titles, texts = [], [], []
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            ids.append(str(row["_id"]))
+            titles.append(row.get("title", "") or "")
+            texts.append(row.get("text", ""))
+    return ids, titles, texts
+
+
 def load_beir_dataset(path: str, split: str = "test") -> IRDataset:
     """Load a BEIR-format directory: corpus.jsonl, queries.jsonl,
     qrels/<split>.tsv (hybrid_beir.py:194-264 protocol, incl. title/body)."""
-    corpus = {}
-    titles = {}
-    with open(os.path.join(path, "corpus.jsonl")) as f:
-        for line in f:
-            row = json.loads(line)
-            did = str(row["_id"])
-            corpus[did] = row.get("text", "")
-            if row.get("title"):
-                titles[did] = row["title"]
-    queries = {}
-    with open(os.path.join(path, "queries.jsonl")) as f:
-        for line in f:
-            row = json.loads(line)
-            queries[str(row["_id"])] = row.get("text", "")
+    dids, dtitles, dtexts = _read_jsonl(os.path.join(path, "corpus.jsonl"))
+    corpus = dict(zip(dids, dtexts))
+    titles = {d: t for d, t in zip(dids, dtitles) if t}
+    qids, _, qtexts = _read_jsonl(os.path.join(path, "queries.jsonl"))
+    queries = dict(zip(qids, qtexts))
     qrels: dict = {}
     with open(os.path.join(path, "qrels", f"{split}.tsv")) as f:
         header = f.readline()

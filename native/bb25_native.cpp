@@ -11,6 +11,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <string>
 #include <string_view>
@@ -678,6 +679,279 @@ void bb25_free_encode(EncodeResult* res) {
   delete[] res->pair_t;
   delete[] res->pair_c;
   delete res;
+}
+
+// ----- JSONL corpus loader (BEIR format) -----------------------------------
+//
+// Parses corpus/queries .jsonl files ({"_id", "title", "text", ...} per
+// line) without materializing per-document Python strings: documents come
+// back as concatenated blobs + offsets, ready for bb25_build_corpus. The
+// parser walks each top-level object with depth tracking, so a "text" key
+// inside a nested "metadata" object is never mistaken for the document
+// text.
+
+namespace {
+
+// Append the decoded value of the JSON string starting at *p (after the
+// opening quote) to out; advances *p past the closing quote. Returns
+// false on malformed input.
+bool decode_json_string(const char** p, const char* end, std::string* out) {
+  const char* s = *p;
+  while (s < end) {
+    // Bulk-copy the run up to the next quote or escape: per-byte pushes
+    // lose to Python's C json; memchr-driven runs win ~4x.
+    const char* run = s;
+    while (run < end && *run != '"' && *run != '\\') ++run;
+    if (run > s) {
+      out->append(s, (size_t)(run - s));
+      s = run;
+    }
+    if (s >= end) break;
+    char c = *s++;
+    if (c == '"') {
+      *p = s;
+      return true;
+    }
+    if (c != '\\') {
+      out->push_back(c);
+      continue;
+    }
+    if (s >= end) return false;
+    char e = *s++;
+    switch (e) {
+      case '"': out->push_back('"'); break;
+      case '\\': out->push_back('\\'); break;
+      case '/': out->push_back('/'); break;
+      case 'b': out->push_back('\b'); break;
+      case 'f': out->push_back('\f'); break;
+      case 'n': out->push_back('\n'); break;
+      case 'r': out->push_back('\r'); break;
+      case 't': out->push_back('\t'); break;
+      case 'u': {
+        if (end - s < 4) return false;
+        auto hex4 = [](const char* q) -> int {
+          int v = 0;
+          for (int i = 0; i < 4; ++i) {
+            char h = q[i];
+            v <<= 4;
+            if (h >= '0' && h <= '9') v |= h - '0';
+            else if (h >= 'a' && h <= 'f') v |= h - 'a' + 10;
+            else if (h >= 'A' && h <= 'F') v |= h - 'A' + 10;
+            else return -1;
+          }
+          return v;
+        };
+        int cp = hex4(s);
+        if (cp < 0) return false;
+        s += 4;
+        if (cp >= 0xD800 && cp <= 0xDBFF && end - s >= 6 && s[0] == '\\' &&
+            s[1] == 'u') {
+          int lo = hex4(s + 2);
+          if (lo >= 0xDC00 && lo <= 0xDFFF) {
+            cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
+            s += 6;
+          }
+        }
+        // UTF-8 encode
+        if (cp < 0x80) {
+          out->push_back((char)cp);
+        } else if (cp < 0x800) {
+          out->push_back((char)(0xC0 | (cp >> 6)));
+          out->push_back((char)(0x80 | (cp & 0x3F)));
+        } else if (cp < 0x10000) {
+          out->push_back((char)(0xE0 | (cp >> 12)));
+          out->push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+          out->push_back((char)(0x80 | (cp & 0x3F)));
+        } else {
+          out->push_back((char)(0xF0 | (cp >> 18)));
+          out->push_back((char)(0x80 | ((cp >> 12) & 0x3F)));
+          out->push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+          out->push_back((char)(0x80 | (cp & 0x3F)));
+        }
+        break;
+      }
+      default:
+        return false;
+    }
+  }
+  return false;
+}
+
+// Skip any JSON value starting at *p (string/number/bool/null/object/
+// array), advancing past it. Depth-tracked; strings skipped with escape
+// awareness.
+bool skip_json_value(const char** p, const char* end) {
+  const char* s = *p;
+  while (s < end && (*s == ' ' || *s == '\t')) ++s;
+  if (s >= end) return false;
+  if (*s == '"') {
+    ++s;
+    while (s < end) {
+      if (*s == '\\') { s += 2; continue; }
+      if (*s == '"') { *p = s + 1; return true; }
+      ++s;
+    }
+    return false;
+  }
+  if (*s == '{' || *s == '[') {
+    int depth = 0;
+    while (s < end) {
+      char c = *s;
+      if (c == '"') {
+        ++s;
+        while (s < end) {
+          if (*s == '\\') { s += 2; continue; }
+          if (*s == '"') break;
+          ++s;
+        }
+        if (s >= end) return false;
+        ++s;
+        continue;
+      }
+      if (c == '{' || c == '[') ++depth;
+      if (c == '}' || c == ']') {
+        --depth;
+        if (depth == 0) { *p = s + 1; return true; }
+      }
+      ++s;
+    }
+    return false;
+  }
+  // number / true / false / null: scan to a delimiter
+  while (s < end && *s != ',' && *s != '}' && *s != ']') ++s;
+  *p = s;
+  return true;
+}
+
+// Parse one top-level JSONL object, extracting "_id", "title", "text"
+// (any order, depth 1 only; first occurrence wins). Values decode
+// DIRECTLY into the caller's accumulator blobs — no per-doc temporaries.
+// Missing keys append nothing (the caller's offsets handle empties).
+bool parse_beir_line(const char* line, const char* end, std::string* id,
+                     std::string* title, std::string* text) {
+  const char* s = line;
+  while (s < end && *s != '{') ++s;
+  if (s >= end) return false;
+  ++s;
+  bool saw_id = false, saw_title = false, saw_text = false;
+  while (s < end) {
+    while (s < end && (*s == ' ' || *s == '\t' || *s == ',')) ++s;
+    if (s < end && *s == '}') return true;
+    if (s >= end || *s != '"') return false;
+    ++s;
+    std::string key;
+    if (!decode_json_string(&s, end, &key)) return false;
+    while (s < end && (*s == ' ' || *s == '\t')) ++s;
+    if (s >= end || *s != ':') return false;
+    ++s;
+    while (s < end && (*s == ' ' || *s == '\t')) ++s;
+    std::string* target = nullptr;
+    if (key == "_id" && !saw_id) { target = id; saw_id = true; }
+    else if (key == "title" && !saw_title) { target = title; saw_title = true; }
+    else if (key == "text" && !saw_text) { target = text; saw_text = true; }
+    if (target != nullptr && s < end && *s == '"') {
+      ++s;
+      if (!decode_json_string(&s, end, target)) return false;
+    } else {
+      if (!skip_json_value(&s, end)) return false;
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+struct JsonlResult {
+  char* id_blob;
+  int64_t* id_offsets;
+  char* title_blob;
+  int64_t* title_offsets;
+  char* text_blob;
+  int64_t* text_offsets;
+  int64_t n_docs;
+  int64_t id_blob_size;
+  int64_t title_blob_size;
+  int64_t text_blob_size;
+};
+
+JsonlResult* bb25_load_jsonl(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  std::string data;
+  char buf[1 << 16];
+  size_t n;
+  while ((n = fread(buf, 1, sizeof(buf), f)) > 0) data.append(buf, n);
+  fclose(f);
+
+  std::string ids, titles, texts;
+  std::vector<int64_t> id_off{0}, title_off{0}, text_off{0};
+  ids.reserve(data.size() / 16);
+  texts.reserve(data.size());
+  const char* p = data.data();
+  const char* end = p + data.size();
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', (size_t)(end - p));
+    const char* line_end = nl ? nl : end;
+    if (line_end > p) {
+      // Decode directly into the big blobs (no per-doc temp strings);
+      // roll back on lines without an "_id".
+      size_t id0 = ids.size(), ti0 = titles.size(), tx0 = texts.size();
+      if (parse_beir_line(p, line_end, &ids, &titles, &texts)
+          && ids.size() > id0) {
+        id_off.push_back((int64_t)ids.size());
+        title_off.push_back((int64_t)titles.size());
+        text_off.push_back((int64_t)texts.size());
+      } else {
+        ids.resize(id0);
+        titles.resize(ti0);
+        texts.resize(tx0);
+      }
+    }
+    p = nl ? nl + 1 : end;
+  }
+
+  auto* res = new JsonlResult();
+  res->n_docs = (int64_t)id_off.size() - 1;
+  auto pack_str = [](const std::string& s, char** blob, int64_t* size) {
+    *blob = new char[s.size() + 1];
+    std::memcpy(*blob, s.data(), s.size());
+    (*blob)[s.size()] = 0;
+    *size = (int64_t)s.size();
+  };
+  auto pack_off = [](const std::vector<int64_t>& v) {
+    auto* o = new int64_t[v.size()];
+    std::memcpy(o, v.data(), v.size() * sizeof(int64_t));
+    return o;
+  };
+  pack_str(ids, &res->id_blob, &res->id_blob_size);
+  pack_str(titles, &res->title_blob, &res->title_blob_size);
+  pack_str(texts, &res->text_blob, &res->text_blob_size);
+  res->id_offsets = pack_off(id_off);
+  res->title_offsets = pack_off(title_off);
+  res->text_offsets = pack_off(text_off);
+  return res;
+}
+
+void bb25_free_jsonl(JsonlResult* res) {
+  if (!res) return;
+  delete[] res->id_blob;
+  delete[] res->id_offsets;
+  delete[] res->title_blob;
+  delete[] res->title_offsets;
+  delete[] res->text_blob;
+  delete[] res->text_offsets;
+  delete res;
+}
+
+// Build a corpus directly from a text blob + offsets (e.g. straight from
+// bb25_load_jsonl's text arrays) — the document texts never exist as
+// individual host-language strings.
+CorpusResult* bb25_build_corpus_blob(const char* blob,
+                                     const int64_t* offsets, int64_t n_docs,
+                                     int lowercase, int remove_stop,
+                                     int stem) {
+  return bb25_build_corpus(blob, offsets, n_docs, lowercase, remove_stop,
+                           stem);
 }
 
 }  // extern "C"

@@ -1,0 +1,145 @@
+"""Native JSONL data loader (engine/native.py:load_jsonl_native) and the
+end-to-end BayesianBM25Scorer.index_jsonl path.
+
+The C++ mini-JSON parser must agree with Python's json module on BEIR
+corpus lines, including escape sequences, \\uXXXX (with surrogate
+pairs), nested objects containing decoy keys, reordered/missing keys,
+and blank lines."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bayesian_bm25_tpu import BayesianBM25Scorer
+
+try:
+    from bayesian_bm25_tpu.engine.native import (
+        BlobTexts,
+        load_jsonl_native,
+    )
+    _HAVE_NATIVE = True
+except (ImportError, OSError):
+    _HAVE_NATIVE = False
+
+needs_native = pytest.mark.skipif(not _HAVE_NATIVE,
+                                  reason="native toolchain unavailable")
+
+
+TRICKY_ROWS = [
+    {"_id": "d1", "title": "First Doc", "text": "the quick brown fox"},
+    {"_id": "d2", "text": "escaped \"quotes\" and \\ backslash\nnl\ttab",
+     "title": ""},
+    {"_id": "d3", "title": "café man",
+     "text": "unicode café emoji \U0001F600 end"},
+    {"_id": "d4", "metadata": {"text": "DECOY", "nested": {"_id": "x"}},
+     "text": "real text four", "title": "T4"},
+    {"_id": "d5", "text": "numbers 123 true null",
+     "extra": [1, 2, {"text": "deep"}], "title": "t5"},
+    {"text": "no id -> dropped"},
+]
+
+
+@pytest.fixture
+def tricky_file(tmp_path):
+    p = tmp_path / "corpus.jsonl"
+    with open(p, "w") as f:
+        for i, row in enumerate(TRICKY_ROWS):
+            f.write(json.dumps(row) + "\n")
+            if i == 2:
+                f.write("\n")  # blank line mid-file
+    return str(p)
+
+
+@needs_native
+class TestNativeJsonlParser:
+    def test_agrees_with_json_module(self, tricky_file):
+        ids, titles, texts = load_jsonl_native(tricky_file)
+        kept = [r for r in TRICKY_ROWS if r.get("_id")]
+        assert ids == [r["_id"] for r in kept]
+        for i, row in enumerate(kept):
+            assert titles[i] == (row.get("title") or "")
+            assert texts[i] == row.get("text", "")
+
+    def test_missing_file_returns_none(self):
+        assert load_jsonl_native("/tmp/definitely/not/here.jsonl") is None
+
+    def test_blob_texts_sequence_protocol(self, tricky_file):
+        _, _, texts = load_jsonl_native(tricky_file)
+        assert isinstance(texts, BlobTexts)
+        assert len(texts) == 5
+        assert texts[-1] == texts[4]
+        assert list(texts)[0] == texts[0]
+        with pytest.raises(IndexError):
+            texts[5]
+
+
+class TestIndexJsonl:
+    def _write(self, tmp_path, n=120):
+        rows = []
+        for i in range(n):
+            words = " ".join(
+                f"t{t}" for t in np.random.default_rng(i).zipf(1.4, 25)
+                % 400)
+            rows.append({"_id": f"doc{i}", "title": "", "text": words})
+        rows[7]["text"] = "zebra stripes pattern unique"
+        p = tmp_path / "corpus.jsonl"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return str(p), rows
+
+    def test_end_to_end_and_id_mapping(self, tmp_path):
+        path, rows = self._write(tmp_path)
+        s = BayesianBM25Scorer()
+        ids = s.index_jsonl(path)
+        assert len(ids) == len(rows) and s.num_docs == len(rows)
+        ranked, probs = s.retrieve_texts(["zebra stripes"], k=1)
+        assert ids[int(np.asarray(ranked)[0, 0])] == "doc7"
+
+    def test_matches_index_texts(self, tmp_path):
+        path, rows = self._write(tmp_path)
+        a = BayesianBM25Scorer()
+        a.index_jsonl(path)
+        b = BayesianBM25Scorer()
+        b.index_texts([r["text"] for r in rows])
+        qa = a.retrieve_texts(["zebra stripes pattern"], k=5)
+        qb = b.retrieve_texts(["zebra stripes pattern"], k=5)
+        np.testing.assert_array_equal(np.asarray(qa[0]), np.asarray(qb[0]))
+        np.testing.assert_allclose(np.asarray(qa[1]), np.asarray(qb[1]),
+                                   rtol=1e-6)
+
+    def test_add_documents_after_index_jsonl(self, tmp_path):
+        path, rows = self._write(tmp_path, n=60)
+        s = BayesianBM25Scorer()
+        s.index_jsonl(path)
+        s.add_documents([["qqq", "www"]], show_progress=False)
+        ranked, _ = s.retrieve([["qqq"]], k=1)
+        assert int(np.asarray(ranked)[0, 0]) == 60
+
+
+class TestBeirLoaderRoundTrip:
+    def test_mini_beir_fixture_loads_identically(self):
+        """The harness loader must produce the same dataset through the
+        native and Python paths."""
+        from benchmarks.utils import _read_jsonl, load_beir_dataset
+
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "benchmarks", "data", "mini_beir")
+        if not os.path.isdir(root):
+            pytest.skip("mini_beir fixture missing")
+        ds = load_beir_dataset(root)
+        # python re-parse of the same file
+        ids, titles, texts = [], [], []
+        with open(os.path.join(root, "corpus.jsonl")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                row = json.loads(line)
+                ids.append(str(row["_id"]))
+                titles.append(row.get("title", "") or "")
+                texts.append(row.get("text", ""))
+        assert ds.corpus == dict(zip(ids, texts))
+        nat = _read_jsonl(os.path.join(root, "corpus.jsonl"))
+        assert nat[0] == ids and nat[1] == titles and nat[2] == texts
