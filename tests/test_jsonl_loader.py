@@ -143,3 +143,77 @@ class TestBeirLoaderRoundTrip:
         assert ds.corpus == dict(zip(ids, texts))
         nat = _read_jsonl(os.path.join(root, "corpus.jsonl"))
         assert nat[0] == ids and nat[1] == titles and nat[2] == texts
+
+
+@needs_native
+class TestParserFuzz:
+    """Randomized structures + malformed lines: the C++ parser must
+    agree with the json module on well-formed rows and drop (never
+    crash on) anything else."""
+
+    def test_random_structures_match_json_module(self, tmp_path):
+        import random
+        import string
+
+        rng = random.Random(0)
+        pool = string.ascii_letters + string.digits + ' \t"\\/\né中\U0001F600'
+
+        def rand_string(n):
+            return "".join(rng.choice(pool)
+                           for _ in range(rng.randint(0, n)))
+
+        def rand_value(depth=0):
+            c = rng.random()
+            if depth > 2 or c < 0.4:
+                return rand_string(20)
+            if c < 0.55:
+                return rng.randint(-1000, 1000)
+            if c < 0.65:
+                return rng.random() * 100
+            if c < 0.72:
+                return rng.choice([True, False, None])
+            if c < 0.86:
+                return [rand_value(depth + 1)
+                        for _ in range(rng.randint(0, 3))]
+            return {rand_string(6) or "k": rand_value(depth + 1)
+                    for _ in range(rng.randint(0, 3))}
+
+        for trial in range(10):
+            rows = []
+            for i in range(rng.randint(1, 30)):
+                row = {"_id": f"id{trial}_{i}"}
+                if rng.random() < 0.8:
+                    row["title"] = rand_string(30)
+                if rng.random() < 0.9:
+                    row["text"] = rand_string(100)
+                for _ in range(rng.randint(0, 4)):
+                    k = rng.choice(["metadata", "text", "_id", "title",
+                                    rand_string(8) or "k"])
+                    if k in row:
+                        continue
+                    row[k] = rand_value()
+                rows.append(row)
+            path = tmp_path / f"fuzz_{trial}.jsonl"
+            with open(path, "w") as f:
+                for r in rows:
+                    f.write(json.dumps(
+                        r, ensure_ascii=rng.random() < 0.5) + "\n")
+            ids, titles, texts = load_jsonl_native(str(path))
+            assert ids == [r["_id"] for r in rows]
+            for i, r in enumerate(rows):
+                et = r.get("title")
+                ex = r.get("text")
+                assert titles[i] == (et if isinstance(et, str) else "")
+                assert texts[i] == (ex if isinstance(ex, str) else "")
+
+    def test_malformed_lines_dropped_not_crashed(self, tmp_path):
+        path = tmp_path / "bad.jsonl"
+        with open(path, "w") as f:
+            f.write('{"_id": "good1", "text": "ok"}\n')
+            f.write('{"_id": "trunc", "text": "unterminated\n')
+            f.write('not json at all\n')
+            f.write('{"_id": 42, "text": "non-string id -> dropped"}\n')
+            f.write('{"_id": "good2", "text": "also ok"}\n')
+        ids, _, texts = load_jsonl_native(str(path))
+        assert ids == ["good1", "good2"]
+        assert texts[0] == "ok" and texts[1] == "also ok"
