@@ -82,6 +82,56 @@ class MultiFieldScorer:
             self._scorers[field] = scorer
         self._num_docs = len(documents)
 
+    def index_jsonl(self, path: str, *, lowercase: bool = True,
+                    remove_stopwords: bool = True,
+                    stem: bool = True) -> list[str]:
+        """Index a BEIR corpus.jsonl as title/body fields natively.
+
+        Requires ``fields == ["title", "body"]`` (the BEIR convention the
+        reference's harness uses, hybrid_beir.py:194-264). The C++ data
+        loader supplies both fields as lazy blobs; each field scorer
+        indexes through the native text pipeline. Returns the corpus doc
+        ids in index order.
+        """
+        if self._fields != ["title", "body"]:
+            raise ValueError(
+                "index_jsonl requires fields=['title', 'body'], got "
+                f"{self._fields}")
+        try:
+            from bayesian_bm25_tpu.engine.native import load_jsonl_native
+
+            loaded = load_jsonl_native(path)
+        except (ImportError, OSError):
+            loaded = None
+        if loaded is None:
+            import json
+
+            ids, titles, texts = [], [], []
+            with open(path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    row = json.loads(line)
+                    did = str(row.get("_id", ""))
+                    if not did:
+                        continue
+                    ids.append(did)
+                    titles.append(row.get("title", "") or "")
+                    texts.append(row.get("text", ""))
+        else:
+            ids, titles, texts = loaded
+        self._scorers = {}
+        for field, field_texts in (("title", titles), ("body", texts)):
+            scorer = BayesianBM25Scorer(
+                k1=self._k1, b=self._b, method=self._method,
+                base_rate=self._base_rate,
+            )
+            scorer.index_texts(field_texts, lowercase=lowercase,
+                               remove_stopwords=remove_stopwords, stem=stem)
+            self._scorers[field] = scorer
+        self._num_docs = len(ids)
+        return list(ids)
+
     def get_probabilities(self, query_tokens: list[str]) -> np.ndarray:
         """Fused probabilities for all documents (weighted Log-OP)."""
         if not self._scorers:
@@ -124,6 +174,16 @@ class MultiFieldScorer:
         k = min(k, len(probs))
         top = np.argsort(probs)[::-1][:k]
         return top, probs[top]
+
+    def retrieve_texts(self, query_text: str, k: int = 10):
+        """Text-in retrieve: tokenize with the field scorers' options
+        (set by ``index_jsonl``/``index_texts``) then fuse-and-rank."""
+        if not self._scorers:
+            raise RuntimeError("Call index() before retrieve_texts().")
+        from bayesian_bm25_tpu.engine.tokenize import tokenize_texts
+
+        opts = self._scorers[self._fields[0]]._tok_opts
+        return self.retrieve(tokenize_texts([query_text], **opts)[0], k=k)
 
     def add_documents(self, new_documents: list[dict],
                       show_progress: bool = True) -> None:

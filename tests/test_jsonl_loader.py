@@ -217,3 +217,80 @@ class TestParserFuzz:
         ids, _, texts = load_jsonl_native(str(path))
         assert ids == ["good1", "good2"]
         assert texts[0] == "ok" and texts[1] == "also ok"
+
+
+class TestMultiFieldJsonl:
+    def _write(self, tmp_path):
+        rows = [
+            {"_id": "a1", "title": "fox hunting", "text": "the quick brown "
+             "fox jumps over the lazy dog in the forest"},
+            {"_id": "a2", "title": "dog training", "text": "dogs learn "
+             "commands with patience and daily practice sessions"},
+            {"_id": "a3", "title": "night sky", "text": "stars shine at "
+             "night while foxes hunt in the dark"},
+        ]
+        p = tmp_path / "corpus.jsonl"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return str(p), rows
+
+    def test_title_body_end_to_end(self, tmp_path):
+        from bayesian_bm25_tpu import MultiFieldScorer
+
+        path, rows = self._write(tmp_path)
+        m = MultiFieldScorer(fields=["title", "body"],
+                             field_weights={"title": 0.7, "body": 0.3})
+        ids = m.index_jsonl(path)
+        assert ids == ["a1", "a2", "a3"]
+        assert m.num_docs == 3
+        top, probs = m.retrieve_texts("dog training", k=1)
+        assert ids[int(top[0])] == "a2"
+        # title weight dominates: "fox hunting" title should beat the
+        # body-only "foxes hunt" mention
+        top2, _ = m.retrieve_texts("fox hunting", k=2)
+        assert ids[int(top2[0])] == "a1"
+
+    def test_requires_title_body_fields(self, tmp_path):
+        from bayesian_bm25_tpu import MultiFieldScorer
+
+        path, _ = self._write(tmp_path)
+        with pytest.raises(ValueError, match="title"):
+            MultiFieldScorer(fields=["headline", "body"]).index_jsonl(path)
+
+
+@needs_native
+class TestNativeMemoryStability:
+    """Repeated native calls must not leak: encoder results and jsonl
+    results are freed in finally blocks, vocab handles in __del__."""
+
+    def test_rss_stable_over_repeated_calls(self, tmp_path):
+        import resource
+
+        from bayesian_bm25_tpu.engine import index as eidx
+
+        rows = [{"_id": f"d{i}", "text": "alpha beta gamma delta " * 20}
+                for i in range(200)]
+        p = tmp_path / "c.jsonl"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        corpus = [["alpha", "beta", f"t{i % 50}"] for i in range(500)]
+        idx = eidx.build_index(corpus)
+        enc = eidx.get_native_encoder(idx)
+        queries = [["alpha", f"t{i % 50}"] for i in range(64)]
+
+        def roundtrip():
+            load_jsonl_native(str(p))
+            if enc is not None:
+                enc.encode_tokens(queries)
+
+        for _ in range(5):
+            roundtrip()  # warm allocator
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        for _ in range(300):
+            roundtrip()
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        # ru_maxrss is KB on Linux; 300 leaked copies of a ~100 KB blob
+        # would add ~30 MB. Allow 8 MB of allocator noise.
+        assert rss1 - rss0 < 8192, f"RSS grew {rss1 - rss0} KB"
