@@ -304,6 +304,88 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
     return out[:3]
 
 
+def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
+                                   tail_ids, tail_w, doc_lengths, avgdl,
+                                   fslots, fcnt, tail_rows, tail_qids,
+                                   tail_qcnt, k: int,
+                                   alpha, beta, base_rate=None,
+                                   n_docs: int | None = None,
+                                   prior_free: bool = False,
+                                   precision=jax.lax.Precision.HIGHEST):
+    """Frequency-split top-k on a (query x document) 2-D mesh.
+
+    The dp x tp analogue on the production kernel: the query batch shards
+    over 'q' (each device row serves its slice), the split tables over
+    'd'. The tail group (rows of queries with rare terms) is replicated;
+    each q-tile scatters only the rows that fall inside its local query
+    slice — out-of-slice (and pad) rows target a trash row, contributing
+    nothing, so every tail row lands exactly once across the 'q' axis.
+    Candidates all_gather over 'd' only; outputs stay q-sharded.
+    """
+    from bayesian_bm25_tpu.engine.split_index import _densify_queries
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
+                  P("d"), P("q", None), P("q", None), P(None),
+                  P(None, None), P(None, None)),
+        out_specs=(P("q", None), P("q", None), P("q", None), P("q", None)),
+        check_vma=False,
+    )
+    def body(imp, pres, tids, tw, dl, fs, fc, trow, tqi, tqc):
+        qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
+        dt = imp.dtype
+        scores = jnp.dot(qvec.astype(dt), imp.T,
+                         precision=precision,
+                         preferred_element_type=jnp.float32)
+        tfs = jnp.dot(qpres.astype(pres.dtype), pres.T,
+                      preferred_element_type=jnp.float32)
+        t_scores, t_tfs = _local_score(tids, tw, tqi, tqc)
+        nq_local = fs.shape[0]
+        q_off = jax.lax.axis_index("q") * nq_local
+        local_row = trow - q_off
+        in_slice = (local_row >= 0) & (local_row < nq_local)
+        row_safe = jnp.where(in_slice, local_row, nq_local)  # trash row
+        D_local = scores.shape[1]
+        scores = jnp.concatenate(
+            [scores, jnp.zeros((1, D_local), scores.dtype)]
+        ).at[row_safe].add(t_scores)[:nq_local]
+        tfs = jnp.concatenate(
+            [tfs, jnp.zeros((1, D_local), tfs.dtype)]
+        ).at[row_safe].add(t_tfs)[:nq_local]
+
+        local_k = min(k, tids.shape[0])
+        top_s, top_local = jax.lax.top_k(scores, local_k)
+        offset = jax.lax.axis_index("d") * tids.shape[0]
+        top_global = top_local + offset
+        top_tf = jnp.take_along_axis(tfs, top_local, axis=1)
+        top_dl = dl[top_local]
+        cand_s = jax.lax.all_gather(top_s, "d", axis=1, tiled=True)
+        cand_id = jax.lax.all_gather(top_global, "d", axis=1, tiled=True)
+        cand_tf = jax.lax.all_gather(top_tf, "d", axis=1, tiled=True)
+        cand_dl = jax.lax.all_gather(top_dl, "d", axis=1, tiled=True)
+        if n_docs is not None:
+            cand_s = jnp.where(cand_id < n_docs, cand_s, -jnp.inf)
+        merge_s, merge_pos = jax.lax.top_k(cand_s, k)
+        ids = jnp.take_along_axis(cand_id, merge_pos, axis=1)
+        tfs_m = jnp.take_along_axis(cand_tf, merge_pos, axis=1)
+        dl_m = jnp.take_along_axis(cand_dl, merge_pos, axis=1)
+        merge_s = jnp.where(jnp.isfinite(merge_s), merge_s, 0.0)
+        probs = T.score_to_probability(
+            merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate,
+            prior_free=prior_free,
+        )
+        probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
+        return ids, probs, merge_s, tfs_m
+
+    out = body(dense_impact, dense_presence, tail_ids, tail_w, doc_lengths,
+               jnp.asarray(fslots), jnp.asarray(fcnt),
+               jnp.asarray(tail_rows), jnp.asarray(tail_qids),
+               jnp.asarray(tail_qcnt))
+    return out[:3]
+
+
 def sharded_scores_all(mesh: Mesh, term_ids, weights, qids, qcnt):
     """Dense (nq, D) BM25 scores + unique-overlap tf over the sharded
     corpus; outputs stay document-sharded along axis 1 (no gather — the

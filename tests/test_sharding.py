@@ -184,6 +184,43 @@ class TestMesh2D:
         with pytest.raises(ValueError):
             sharded.make_mesh_2d(4, 4)
 
+    def test_qxd_split_kernel_matches_single_device(self, setup):
+        """2-D mesh on the production split kernel: queries shard over
+        'q' (tail rows scatter only inside their local slice), split
+        tables over 'd'."""
+        from bayesian_bm25_tpu.engine import split_index as sidx
+
+        idx, qids, qcnt = setup
+        split = sidx.build_split_index(idx, n_frequent=128,
+                                       enable_overflow=False)
+        inv = {v: k for k, v in idx.vocab.items()}
+        queries = []
+        for row, cnts in zip(np.asarray(qids), np.asarray(qcnt)):
+            toks = []
+            for tid, c in zip(row, cnts):
+                if tid >= 0:
+                    toks.extend([inv[int(tid)]] * int(c))
+            queries.append(toks)
+        queries = queries + queries[:2]  # 8 queries -> 4-way 'q' split
+        enc = sidx.encode_queries_split(queries, split)
+
+        single = sidx.retrieve_topk_split(
+            split.dense_impact, split.dense_presence, split.tail_term_ids,
+            split.tail_weights, idx.doc_lengths, idx.avgdl, *enc, 5,
+            1.0, 2.0, 0.05, n_docs=idx.n_docs)
+
+        mesh = sharded.make_mesh_2d(4, 2)
+        ids2, probs2, scores2 = sharded.sharded_retrieve_topk_split_2d(
+            mesh, split.dense_impact, split.dense_presence,
+            split.tail_term_ids, split.tail_weights, idx.doc_lengths,
+            idx.avgdl, *enc, 5, 1.0, 2.0, 0.05, n_docs=idx.n_docs)
+        np.testing.assert_allclose(
+            np.asarray(scores2), np.asarray(single[2]), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(probs2), np.asarray(single[1]), rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(ids2), np.asarray(single[0]))
+
 
 class TestShardedFit:
     def test_matches_single_device_fit(self):
