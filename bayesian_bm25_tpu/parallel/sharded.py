@@ -586,3 +586,52 @@ def sharded_train_step(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,
         return alpha - learning_rate * g_a, beta - learning_rate * g_b, loss
 
     return body(term_ids, weights, doc_lengths, qids, qcnt, labels)
+
+
+def sharded_train_step_split(mesh: Mesh, dense_impact, dense_presence,
+                             tail_ids, tail_w, fslots, fcnt, tail_rows,
+                             tail_qids, tail_qcnt, labels, alpha, beta,
+                             learning_rate: float = 0.01,
+                             precision=jax.lax.Precision.HIGHEST):
+    """sharded_train_step on the frequency-split scoring path.
+
+    Same psum'd-BCE GD step, but the per-shard scores come from the
+    production split kernel (MXU matmul + tail compare) instead of the
+    doc-major compare sweep — the training step then exercises exactly
+    the kernels that serve. ``labels`` is (nq, D_pad) sharded over 'd'
+    along axis 1, matching the score layout.
+    """
+    from bayesian_bm25_tpu.engine.split_index import _densify_queries
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
+                  P(None, None), P(None, None), P(None),
+                  P(None, None), P(None, None), P(None, "d")),
+        out_specs=(P(), P(), P()),
+    )
+    def body(imp, pres, tids, tw, fs, fc, trow, tqi, tqc, y):
+        qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
+        dt = imp.dtype
+        scores = jnp.dot(qvec.astype(dt), imp.T,
+                         precision=precision,
+                         preferred_element_type=jnp.float32)
+        t_scores, _ = _local_score(tids, tw, tqi, tqc)
+        scores = scores.at[trow].add(t_scores)
+
+        def loss_fn(params):
+            a, b = params
+            L = clamp_probability(sigmoid(a * (scores - b)))
+            bce = -(y * jnp.log(L) + (1.0 - y) * jnp.log1p(-L))
+            total = jax.lax.psum(jnp.sum(bce), "d")
+            count = jax.lax.psum(jnp.asarray(bce.size, bce.dtype), "d")
+            return total / count
+
+        loss, grads = jax.value_and_grad(loss_fn)((alpha, beta))
+        g_a, g_b = grads
+        return alpha - learning_rate * g_a, beta - learning_rate * g_b, loss
+
+    return body(dense_impact, dense_presence, tail_ids, tail_w,
+                jnp.asarray(fslots), jnp.asarray(fcnt),
+                jnp.asarray(tail_rows), jnp.asarray(tail_qids),
+                jnp.asarray(tail_qcnt), labels)

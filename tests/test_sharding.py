@@ -259,3 +259,40 @@ class TestShardedFit:
             learning_rate=0.05, max_iterations=200)
         assert np.isfinite(float(a)) and np.isfinite(float(b))
         assert int(it) > 0
+
+
+class TestShardedTrainStepSplit:
+    def test_matches_compare_path_step(self, setup):
+        """The split-kernel training step must produce the same GD update
+        as the doc-major step (their per-shard scores are equal)."""
+        from bayesian_bm25_tpu.engine import split_index as sidx
+
+        idx, qids, qcnt = setup
+        split = sidx.build_split_index(idx, n_frequent=128,
+                                       enable_overflow=False)
+        inv = {v: k for k, v in idx.vocab.items()}
+        queries = []
+        for row, cnts in zip(np.asarray(qids), np.asarray(qcnt)):
+            toks = []
+            for tid, c in zip(row, cnts):
+                if tid >= 0:
+                    toks.extend([inv[int(tid)]] * int(c))
+            queries.append(toks)
+        enc = sidx.encode_queries_split(queries, split)
+
+        rng = np.random.default_rng(0)
+        D_pad = idx.term_ids.shape[0]
+        labels = (rng.uniform(size=(qids.shape[0], D_pad))
+                  < 0.1).astype(np.float32)
+
+        mesh = sharded.make_mesh()
+        a1, b1, l1 = sharded.sharded_train_step(
+            mesh, idx.term_ids, idx.weights, idx.doc_lengths, idx.avgdl,
+            qids, qcnt, labels, 1.0, 2.0, learning_rate=0.05)
+        a2, b2, l2 = sharded.sharded_train_step_split(
+            mesh, split.dense_impact, split.dense_presence,
+            split.tail_term_ids, split.tail_weights, *enc, labels,
+            1.0, 2.0, learning_rate=0.05)
+        assert float(a2) == pytest.approx(float(a1), rel=1e-5)
+        assert float(b2) == pytest.approx(float(b1), rel=1e-5)
+        assert float(l2) == pytest.approx(float(l1), rel=1e-5)
