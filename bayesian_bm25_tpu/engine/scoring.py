@@ -142,20 +142,29 @@ def thresholded_topk(probs, threshold: float, k: int):
 def retrieve_topk(
     term_ids, weights, doc_lengths, avgdl, qids, qcnt, k: int,
     alpha, beta, base_rate=None, *, n_docs: int | None = None,
-    prior_free: bool = False, use_pallas: bool = False,
+    prior_free: bool = False, use_pallas: bool = False, doc_mask=None,
 ):
     """Top-k by BM25 score with calibrated probabilities (nq, k).
 
     Ranking is by raw BM25 score (parity with bm25s retrieve, sorted=True,
     scorer.py:525-529); probabilities are computed for the selected docs.
+    ``doc_mask`` (bool, per doc) excludes documents from selection
+    entirely (serving-side tenant/metadata filters); slots that cannot be
+    filled from the unmasked set return id -1 / probability 0.
     """
     scores, tfs = score_all(term_ids, weights, qids, qcnt, use_pallas=use_pallas)
     if n_docs is not None:
         scores = scores[:, :n_docs]
         tfs = tfs[:, :n_docs]
+    if doc_mask is not None:
+        scores = jnp.where(doc_mask[None, : scores.shape[1]], scores,
+                           -jnp.inf)
     top_scores, top_ids = jax.lax.top_k(scores, k)
-    top_tfs = jnp.take_along_axis(tfs, top_ids, axis=1)
-    top_dlr = doc_lengths[top_ids] / avgdl
+    dead = ~jnp.isfinite(top_scores)
+    top_scores = jnp.where(dead, 0.0, top_scores)
+    top_ids = jnp.where(dead, -1, top_ids)
+    top_tfs = jnp.take_along_axis(tfs, jnp.maximum(top_ids, 0), axis=1)
+    top_dlr = doc_lengths[jnp.maximum(top_ids, 0)] / avgdl
     probs = T.score_to_probability(
         top_scores, top_tfs, top_dlr, alpha, beta, base_rate,
         prior_free=prior_free,

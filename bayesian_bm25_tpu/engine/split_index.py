@@ -463,13 +463,14 @@ def retrieve_topk_split(
     fslots, fcnt, tail_rows, tail_qids, tail_qcnt, k: int,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
     approx: bool = False, overflow=None,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=jax.lax.Precision.HIGHEST, doc_mask=None,
 ):
     """Fused split scoring -> top-k -> Bayesian transform (hot path).
 
     ``approx=True`` uses the TPU-optimized ``lax.approx_max_k`` (recall
     ~0.95 by default) instead of exact top-k — a latency/recall trade for
-    serving workloads.
+    serving workloads. ``doc_mask`` excludes docs from selection; unfilled
+    slots return id -1 / probability 0.
     """
     from bayesian_bm25_tpu.ops import transform as T
 
@@ -480,12 +481,17 @@ def retrieve_topk_split(
     )
     scores = scores[:, :n_docs]
     tfs = tfs[:, :n_docs]
+    if doc_mask is not None:
+        scores = jnp.where(doc_mask[None, :n_docs], scores, -jnp.inf)
     if approx:
         top_scores, top_ids = jax.lax.approx_max_k(scores, k)
     else:
         top_scores, top_ids = jax.lax.top_k(scores, k)
-    top_tfs = jnp.take_along_axis(tfs, top_ids, axis=1)
-    top_dlr = doc_lengths[top_ids] / avgdl
+    dead = ~jnp.isfinite(top_scores)
+    top_scores = jnp.where(dead, 0.0, top_scores)
+    top_ids = jnp.where(dead, -1, top_ids)
+    top_tfs = jnp.take_along_axis(tfs, jnp.maximum(top_ids, 0), axis=1)
+    top_dlr = doc_lengths[jnp.maximum(top_ids, 0)] / avgdl
     probs = T.score_to_probability(
         top_scores, top_tfs, top_dlr, alpha, beta, base_rate,
         prior_free=prior_free,
@@ -512,6 +518,7 @@ def retrieve_topk_split_sparse(
     fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
     approx: bool = False, precision=jax.lax.Precision.HIGHEST,
+    doc_mask=None,
 ):
     """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
 
@@ -540,6 +547,15 @@ def retrieve_topk_split_sparse(
     scores = jnp.dot(qvec.astype(dt), dense_impact.T,
                      precision=precision,
                      preferred_element_type=jnp.float32)  # (nq, D_pad)
+    if doc_mask is not None:
+        # Masked docs drop to -inf BEFORE leader selection and before the
+        # sbase gather, so they can neither lead nor win via postings;
+        # the exactness argument then holds over the unmasked set (pad
+        # rows keep score 0 — they never outrank a positive candidate).
+        mask_pad = jnp.concatenate(
+            [doc_mask[:n_docs],
+             jnp.ones((dense_impact.shape[0] - n_docs,), bool)])
+        scores = jnp.where(mask_pad[None, :], scores, -jnp.inf)
     scores_nd = scores[:, :n_docs]
     if approx:
         topm_scores, topm_ids = jax.lax.approx_max_k(scores_nd, k)
@@ -633,17 +649,21 @@ def retrieve_topk_split_sparse(
         [jnp.zeros((nq, k), jnp.float32), zrow_f]).at[trow_safe].set(
         m_tf_tail)[:nq]
 
+    dead = ~jnp.isfinite(out_scores)
+    out_scores = jnp.where(dead, 0.0, out_scores)
+    out_ids = jnp.where(dead, -1, out_ids)
+
     # tf only at the k winners: presence-row gather + per-row dot replaces
     # the full (nq, D) presence matmul. Integer-valued f32 sums are exact,
     # so tf matches the dense kernel bit-for-bit.
-    pres_rows = dense_presence[out_ids]  # (nq, k, K)
+    pres_rows = dense_presence[jnp.maximum(out_ids, 0)]  # (nq, k, K)
     tf_freq = jnp.einsum("nkc,nc->nk", pres_rows,
                          qpres.astype(dense_presence.dtype),
                          precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32)
     top_tfs = tf_freq + out_tail_tf
 
-    top_dlr = doc_lengths[out_ids] / avgdl
+    top_dlr = doc_lengths[jnp.maximum(out_ids, 0)] / avgdl
     probs = T.score_to_probability(
         out_scores, top_tfs, top_dlr, alpha, beta, base_rate,
         prior_free=prior_free,

@@ -539,6 +539,7 @@ class BayesianBM25Scorer:
         show_progress: bool = False,
         explain: bool = False,
         approx: bool = False,
+        doc_mask=None,
     ):
         """Top-k by BM25 score with calibrated probabilities.
 
@@ -546,6 +547,11 @@ class BayesianBM25Scorer:
         RetrievalResult with per-document traces when ``explain=True``.
         ``approx=True`` (TPU-native extension) selects lax.approx_max_k —
         ~0.95 recall at lower top-k latency; requires the split index.
+        ``doc_mask`` (TPU-native extension): a length-num_docs boolean
+        array; False docs are excluded from selection entirely (serving
+        tenant/metadata filters). Slots that cannot be filled from the
+        unmasked set come back as id -1 / probability 0. The mask is a
+        traced device array — varying masks reuse one compiled kernel.
         """
         del show_progress
         if self._transform is None:
@@ -553,6 +559,13 @@ class BayesianBM25Scorer:
         idx = self._index
         k_eff = min(k, idx.n_docs)
         t = self._transform
+        if doc_mask is not None:
+            doc_mask = np.asarray(doc_mask, dtype=bool)
+            if doc_mask.shape != (idx.n_docs,):
+                raise ValueError(
+                    f"doc_mask must have shape ({idx.n_docs},), got "
+                    f"{doc_mask.shape}")
+            doc_mask = jnp.asarray(doc_mask)
         if self._split is not None:
             from bayesian_bm25_tpu.engine import split_index as sidx
 
@@ -580,6 +593,7 @@ class BayesianBM25Scorer:
                         t.alpha, t.beta, t.base_rate, n_docs=idx.n_docs,
                         prior_free=t._training_mode == "prior_free",
                         approx=approx, precision=self._matmul_precision,
+                        doc_mask=doc_mask,
                     )
                 )
             else:
@@ -590,7 +604,7 @@ class BayesianBM25Scorer:
                     t.alpha, t.beta, t.base_rate, n_docs=idx.n_docs,
                     prior_free=t._training_mode == "prior_free",
                     approx=approx, overflow=sidx._overflow_of(s),
-                    precision=self._matmul_precision,
+                    precision=self._matmul_precision, doc_mask=doc_mask,
                 )
             top_ids = top_ids[:nq]
             probs = probs[:nq]
@@ -603,7 +617,7 @@ class BayesianBM25Scorer:
                 qids, qcnt, k_eff, t.alpha, t.beta, t.base_rate,
                 n_docs=idx.n_docs,
                 prior_free=t._training_mode == "prior_free",
-                use_pallas=_use_pallas(),
+                use_pallas=_use_pallas(), doc_mask=doc_mask,
             )
         doc_ids = np.asarray(top_ids)
         probabilities = np.asarray(probs).astype(np.float64)
