@@ -649,7 +649,7 @@ class BayesianBM25Scorer:
         return RetrievalResult(doc_ids, probabilities, explanations)
 
     def retrieve_thresholded(self, query_tokens: list[list[str]],
-                             threshold: float, k: int = 10):
+                             threshold: float, k: int = 10, doc_mask=None):
         """The k most probable documents with P >= threshold, per query.
 
         Calibrated probabilities make a fixed threshold meaningful across
@@ -657,7 +657,9 @@ class BayesianBM25Scorer:
         probability pass scans every document, so the returned set is
         complete by construction — a top-k-by-*score* filter could miss
         passing docs because probability is not monotone in score (the
-        prior depends on tf and doc length).
+        prior depends on tf and doc length). ``doc_mask`` (as in
+        ``retrieve``) zeroes masked docs' probabilities, excluding them
+        from both the passing count and the returned set.
 
         Returns (doc_ids, probabilities, n_passing): ids/probabilities are
         (nq, k) ordered by descending probability, with -1 / 0.0 beyond
@@ -668,6 +670,13 @@ class BayesianBM25Scorer:
             raise RuntimeError("Call index() before retrieve_thresholded().")
         nq = len(query_tokens)
         dense = self._dense_probs_device(query_tokens)
+        if doc_mask is not None:
+            doc_mask = np.asarray(doc_mask, dtype=bool)
+            if doc_mask.shape != (self._index.n_docs,):
+                raise ValueError(
+                    f"doc_mask must have shape ({self._index.n_docs},), "
+                    f"got {doc_mask.shape}")
+            dense = dense * jnp.asarray(doc_mask)[None, :]
         ids, probs, n_passing = scoring.thresholded_topk(
             dense, float(threshold), min(k, self._index.n_docs))
         return (np.asarray(ids)[:nq], np.asarray(probs)[:nq].astype(np.float64),

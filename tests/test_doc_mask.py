@@ -119,3 +119,30 @@ class TestMaskedRetrieve:
         i1, i2 = np.asarray(i1), np.asarray(i2)
         assert np.all(i1[i1 >= 0] < s.num_docs // 2)
         assert np.all(i2[i2 >= 0] >= s.num_docs // 2)
+
+
+class TestMaskedThresholded:
+    def test_masked_docs_excluded_from_passing(self, built):
+        s, queries = built
+        i0, p0, n0 = s.retrieve_thresholded(queries[:8], 0.2, k=10)
+        mask = np.zeros(s.num_docs, dtype=bool)  # everything filtered
+        i1, p1, n1 = s.retrieve_thresholded(queries[:8], 0.2, k=10,
+                                            doc_mask=mask)
+        assert np.all(n1 == 0) and np.all(np.asarray(i1) == -1)
+        full = np.ones(s.num_docs, dtype=bool)
+        i2, p2, n2 = s.retrieve_thresholded(queries[:8], 0.2, k=10,
+                                            doc_mask=full)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i2))
+        np.testing.assert_array_equal(n0, n2)
+
+    def test_partial_mask_counts(self, built):
+        s, queries = built
+        rng = np.random.default_rng(3)
+        mask = rng.uniform(size=s.num_docs) < 0.5
+        i1, p1, n1 = s.retrieve_thresholded(queries[:8], 0.1, k=10,
+                                            doc_mask=mask)
+        i1 = np.asarray(i1)
+        assert np.all(mask[i1[i1 >= 0]])
+        # masked counts never exceed unmasked counts
+        _, _, n0 = s.retrieve_thresholded(queries[:8], 0.1, k=10)
+        assert np.all(n1 <= n0)
