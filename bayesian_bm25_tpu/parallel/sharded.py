@@ -137,7 +137,7 @@ def _local_score(term_ids, weights, qids, qcnt):
 def sharded_retrieve_topk(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,
                           qids, qcnt, k: int, alpha, beta, base_rate=None,
                           n_docs: int | None = None, prior_free: bool = False,
-                          return_tfs: bool = False):
+                          return_tfs: bool = False, doc_mask=None):
     """Distributed top-k retrieval with calibrated probabilities.
 
     shard_map body: local scoring -> local top-k (global ids via shard
@@ -152,14 +152,18 @@ def sharded_retrieve_topk(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("d", None), P("d", None), P("d"), P(None, None), P(None, None)),
+        in_specs=(P("d", None), P("d", None), P("d"), P(None, None),
+                  P(None, None), P("d")),
         out_specs=(P(None, None), P(None, None), P(None, None), P(None, None)),
         # Outputs are replicated by construction (derived from all_gather +
         # replicated params) but the static vma check can't infer that.
         check_vma=False,
     )
-    def body(tids, w, dl, qi, qc):
+    def body(tids, w, dl, qi, qc, mask):
         scores, tfs = _local_score(tids, w, qi, qc)
+        # doc_mask rides the same 'd' sharding as the corpus: masked docs
+        # drop to -inf before the local top-k, exactly as single-chip.
+        scores = jnp.where(mask[None, :], scores, -jnp.inf)
         local_k = min(k, tids.shape[0])
         top_s, top_local = jax.lax.top_k(scores, local_k)
         shard = jax.lax.axis_index("d")
@@ -178,7 +182,9 @@ def sharded_retrieve_topk(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,
         ids = jnp.take_along_axis(cand_id, merge_pos, axis=1)
         tfs_m = jnp.take_along_axis(cand_tf, merge_pos, axis=1)
         dl_m = jnp.take_along_axis(cand_dl, merge_pos, axis=1)
-        merge_s = jnp.where(jnp.isfinite(merge_s), merge_s, 0.0)
+        dead = ~jnp.isfinite(merge_s)
+        merge_s = jnp.where(dead, 0.0, merge_s)
+        ids = jnp.where(dead, -1, ids)
         probs = T.score_to_probability(
             merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate,
             prior_free=prior_free,
@@ -186,7 +192,17 @@ def sharded_retrieve_topk(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,
         probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
         return ids, probs, merge_s, tfs_m
 
-    ids, probs, scores, tfs = body(term_ids, weights, doc_lengths, qids, qcnt)
+    D_pad = term_ids.shape[0]
+    if doc_mask is None:
+        mask_pad = jnp.ones((D_pad,), bool)
+    else:
+        mask_pad = jnp.concatenate([
+            jnp.asarray(doc_mask, bool)[:D_pad],
+            jnp.ones((max(D_pad - jnp.asarray(doc_mask).shape[0], 0),),
+                     bool)])
+    mask_pad = jax.device_put(mask_pad, NamedSharding(mesh, P("d")))
+    ids, probs, scores, tfs = body(term_ids, weights, doc_lengths, qids,
+                                   qcnt, mask_pad)
     if return_tfs:
         return ids, probs, scores, tfs
     return ids, probs, scores
@@ -237,7 +253,8 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
                                 n_docs: int | None = None,
                                 prior_free: bool = False,
                                 return_tfs: bool = False,
-                                precision=jax.lax.Precision.HIGHEST):
+                                precision=jax.lax.Precision.HIGHEST,
+                                doc_mask=None):
     """Distributed top-k over the frequency-split index.
 
     The frequent-term matmul shards trivially over the doc axis (each shard
@@ -252,12 +269,12 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
         mesh=mesh,
         in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
                   P("d"), P(None, None), P(None, None), P(None),
-                  P(None, None), P(None, None)),
+                  P(None, None), P(None, None), P("d")),
         out_specs=(P(None, None), P(None, None), P(None, None),
                    P(None, None)),
         check_vma=False,
     )
-    def body(imp, pres, tids, tw, dl, fs, fc, trow, tqi, tqc):
+    def body(imp, pres, tids, tw, dl, fs, fc, trow, tqi, tqc, mask):
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
         dt = imp.dtype
         scores = jnp.dot(qvec.astype(dt), imp.T,
@@ -270,6 +287,7 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
         t_scores, t_tfs = _local_score(tids, tw, tqi, tqc)
         scores = scores.at[trow].add(t_scores)
         tfs = tfs.at[trow].add(t_tfs)
+        scores = jnp.where(mask[None, :], scores, -jnp.inf)
 
         local_k = min(k, tids.shape[0])
         top_s, top_local = jax.lax.top_k(scores, local_k)
@@ -287,7 +305,9 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
         ids = jnp.take_along_axis(cand_id, merge_pos, axis=1)
         tfs_m = jnp.take_along_axis(cand_tf, merge_pos, axis=1)
         dl_m = jnp.take_along_axis(cand_dl, merge_pos, axis=1)
-        merge_s = jnp.where(jnp.isfinite(merge_s), merge_s, 0.0)
+        dead = ~jnp.isfinite(merge_s)
+        merge_s = jnp.where(dead, 0.0, merge_s)
+        ids = jnp.where(dead, -1, ids)
         probs = T.score_to_probability(
             merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate,
             prior_free=prior_free,
@@ -295,10 +315,18 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
         probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
         return ids, probs, merge_s, tfs_m
 
+    D_pad = dense_impact.shape[0]
+    if doc_mask is None:
+        mask_pad = jnp.ones((D_pad,), bool)
+    else:
+        m = jnp.asarray(doc_mask, bool)
+        mask_pad = jnp.concatenate(
+            [m[:D_pad], jnp.ones((max(D_pad - m.shape[0], 0),), bool)])
+    mask_pad = jax.device_put(mask_pad, NamedSharding(mesh, P("d")))
     out = body(dense_impact, dense_presence, tail_ids, tail_w, doc_lengths,
                jnp.asarray(fslots), jnp.asarray(fcnt),
                jnp.asarray(tail_rows), jnp.asarray(tail_qids),
-               jnp.asarray(tail_qcnt))
+               jnp.asarray(tail_qcnt), mask_pad)
     if return_tfs:
         return out
     return out[:3]

@@ -124,7 +124,7 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
         return sidx.encode_queries_split(padded, self._split)
 
     def retrieve(self, query_tokens, k: int = 10, show_progress: bool = False,
-                 explain: bool = False, approx: bool = False):
+                 explain: bool = False, approx: bool = False, doc_mask=None):
         del show_progress, approx
         if self._transform is None:
             raise RuntimeError("Call index() before retrieve().")
@@ -132,6 +132,12 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
         t = self._transform
         k_eff = min(k, idx.n_docs)
         nq = len(query_tokens)
+        if doc_mask is not None:
+            doc_mask = np.asarray(doc_mask, dtype=bool)
+            if doc_mask.shape != (idx.n_docs,):
+                raise ValueError(
+                    f"doc_mask must have shape ({idx.n_docs},), got "
+                    f"{doc_mask.shape}")
         prior_free = t._training_mode == "prior_free"
         if self._split is not None:
             s = self._split
@@ -143,6 +149,7 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                     idx.avgdl, *enc, k_eff, t.alpha, t.beta, t.base_rate,
                     n_docs=idx.n_docs, prior_free=prior_free,
                     return_tfs=True, precision=self._matmul_precision,
+                    doc_mask=doc_mask,
                 )
             )
         else:
@@ -152,6 +159,7 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                 idx.avgdl, jnp.asarray(qids), jnp.asarray(qcnt), k_eff,
                 t.alpha, t.beta, t.base_rate,
                 n_docs=idx.n_docs, prior_free=prior_free, return_tfs=True,
+                doc_mask=doc_mask,
             )
         doc_ids = np.asarray(top_ids)[:nq]
         probabilities = np.asarray(probs)[:nq].astype(np.float64)

@@ -156,3 +156,47 @@ class TestLifecycleParity:
 
         with pytest.raises(ValueError, match="axis name 'd'"):
             ShardedBayesianBM25Scorer(mesh=make_mesh_2d(2, 4))
+
+
+class TestShardedDocMask:
+    def test_masked_retrieve_matches_single_chip(self):
+        from bayesian_bm25_tpu import BayesianBM25Scorer
+        from bayesian_bm25_tpu.parallel.sharded_scorer import (
+            ShardedBayesianBM25Scorer,
+        )
+
+        rng = np.random.default_rng(17)
+        corpus = [[f"t{t}" for t in rng.zipf(1.4, size=20) % 600]
+                  for _ in range(160)]
+        queries = [[f"t{t}" for t in rng.zipf(1.4, size=5) % 600]
+                   for _ in range(8)]
+        mask = rng.uniform(size=len(corpus)) < 0.5
+
+        single = BayesianBM25Scorer(base_rate="auto",
+                                    matmul_precision="highest")
+        single.index(corpus, show_progress=False)
+        sc = ShardedBayesianBM25Scorer(base_rate="auto",
+                                       matmul_precision="highest")
+        sc.index(corpus, show_progress=False)
+
+        i1, p1 = single.retrieve(queries, k=5, doc_mask=mask)
+        i2, p2 = sc.retrieve(queries, k=5, doc_mask=mask)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   rtol=1e-5)
+        ids = np.asarray(i2)
+        assert np.all(mask[ids[ids >= 0]])
+
+    def test_bad_mask_shape_raises(self):
+        from bayesian_bm25_tpu.parallel.sharded_scorer import (
+            ShardedBayesianBM25Scorer,
+        )
+
+        rng = np.random.default_rng(18)
+        corpus = [[f"t{t}" for t in rng.integers(0, 100, 8)]
+                  for _ in range(40)]
+        sc = ShardedBayesianBM25Scorer()
+        sc.index(corpus, show_progress=False)
+        with pytest.raises(ValueError, match="doc_mask"):
+            sc.retrieve([corpus[0][:3]], k=3,
+                        doc_mask=np.ones(7, dtype=bool))
