@@ -24,7 +24,7 @@ def make_corpus(rng, n_docs, doc_len=120, vocab=30000):
     return [[f"t{t}" for t in row] for row in zipf]
 
 
-def run_scale(n_docs: int, n_queries: int = 256) -> tuple:
+def run_scale(n_docs: int, n_queries: int = 1024) -> tuple:
     rng = np.random.default_rng(0)
     corpus = make_corpus(rng, n_docs)
     queries = [[f"t{t}" for t in rng.zipf(1.3, size=8) % 30000]
@@ -68,7 +68,7 @@ def main():
 
     rows = [run_scale(n) for n in scales]
     print_table(
-        "Scalability (256-query retrieve batches, top-10 calibrated)",
+        "Scalability (1024-query retrieve batches, top-10 calibrated)",
         rows,
         ("docs", "index s", "index MB", "retrieve ms", "q/s",
          "dense ms/q"),
