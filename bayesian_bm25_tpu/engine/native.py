@@ -416,7 +416,10 @@ def load_jsonl_native(path: str):
             return blob, off
 
         id_blob, id_off = unpack(r.id_blob, r.id_offsets, r.id_blob_size)
-        ids = [id_blob[id_off[i]:id_off[i + 1]].decode("utf-8")
+        # errors="replace": a lone \uD800-style escape in an _id decodes
+        # to invalid UTF-8 (unpaired surrogate); keep the document rather
+        # than raising mid-load.
+        ids = [id_blob[id_off[i]:id_off[i + 1]].decode("utf-8", "replace")
                for i in range(n)]
         titles = BlobTexts(*unpack(r.title_blob, r.title_offsets,
                                    r.title_blob_size))

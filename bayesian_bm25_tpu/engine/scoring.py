@@ -127,8 +127,12 @@ def thresholded_topk(probs, threshold: float, k: int):
     P >= threshold per query; ids -1 / probs 0 beyond the passing set.
 
     Operates on a dense probability matrix, so the passing set is complete
-    (no score-ordered filter can drop a passing doc)."""
-    passing = probs >= threshold
+    (no score-ordered filter can drop a passing doc). Entries with
+    probability 0 (zero-score docs, and docs zeroed by a doc_mask) never
+    pass — even at threshold=0.0 — so the mask contract holds for every
+    threshold: a true probability is strictly positive (sigmoid output),
+    so this excludes exactly the no-evidence/masked set."""
+    passing = (probs >= threshold) & (probs > 0.0)
     n_passing = jnp.sum(passing, axis=1).astype(jnp.int32)
     masked = jnp.where(passing, probs, -1.0)
     top_p, top_ids = jax.lax.top_k(masked, k)

@@ -524,9 +524,15 @@ def retrieve_topk_split_sparse(
 
     The frequent-term matmul scores every doc; rare-term contributions are
     merged per query from term-major postings instead of a doc-major
-    compare sweep. The result is EXACT (ids, scores, tf, probabilities all
-    bit-equal to the dense path) because every BM25 contribution is
-    non-negative: with M = k matmul-side leaders in the candidate set, any
+    compare sweep. The candidate SET is exact — no approximation in which
+    docs can win — and tf counts are bit-equal (integer-valued f32 sums).
+    Scores agree with the dense path to the last ulp: the per-doc tail
+    accumulation visits query slots in the same ascending order as the
+    compare kernel's fori_loop, but the merge's shifted-add scheduling is
+    a different XLA program, so isolated 1-ulp rounding differences (and,
+    in principle, a flipped exact-tie ranking) are possible. Exactness of
+    the candidate set follows from non-negativity: with M = k matmul-side
+    leaders in the candidate set, any
     non-candidate doc d has matmul score <= each leader's, hence full
     score <= each leader's full score, and ties resolve to the leaders'
     smaller ids — so the true top-k is always inside

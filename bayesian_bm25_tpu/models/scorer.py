@@ -220,11 +220,17 @@ class BayesianBM25Scorer:
         else:
             self._split = None
 
+    def _doc_pad_multiple(self) -> int:
+        """Doc-axis padding multiple, used by BOTH the initial build and
+        incremental appends (ShardedBayesianBM25Scorer overrides with
+        lcm(2048, n_shards) so the doc axis always divides its mesh)."""
+        return 2048
+
     def _build_index(self, corpus_tokens) -> eidx.BM25Index:
-        """Index-construction hook (ShardedBayesianBM25Scorer overrides
-        the pad multiple so the doc axis divides its mesh)."""
+        """Index-construction hook."""
         return eidx.build_index(
-            corpus_tokens, k1=self._k1, b=self._b, method=self._method
+            corpus_tokens, k1=self._k1, b=self._b, method=self._method,
+            doc_pad_multiple=self._doc_pad_multiple(),
         )
 
     def _finalize_index(self) -> None:
@@ -761,7 +767,9 @@ class BayesianBM25Scorer:
         if self._index is None or self._index.term_counts_host is None:
             self.index(list(self._corpus_tokens) + new_list)
             return
-        self._index = eidx.append_to_index(self._index, new_list)
+        self._index = eidx.append_to_index(
+            self._index, new_list,
+            doc_pad_multiple=self._doc_pad_multiple())
         self._corpus_tokens = self._corpus_tokens + new_list
         self._maybe_build_split()
         self._finalize_index()

@@ -67,12 +67,11 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
 
     # -- construction hooks ---------------------------------------------------
 
-    def _build_index(self, corpus_tokens) -> eidx.BM25Index:
-        # Pad the doc axis so it divides the mesh evenly.
-        return eidx.build_index(
-            corpus_tokens, k1=self._k1, b=self._b, method=self._method,
-            doc_pad_multiple=_lcm(2048, self._n_shards),
-        )
+    def _doc_pad_multiple(self) -> int:
+        # Pad the doc axis so it divides the mesh evenly — applies to the
+        # initial build AND add_documents appends (both route through the
+        # base-class hook).
+        return _lcm(2048, self._n_shards)
 
     def _finalize_index(self) -> None:
         """Re-place index/split arrays document-sharded over the mesh."""

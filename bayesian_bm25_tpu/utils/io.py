@@ -137,7 +137,23 @@ def save_scorer(path: str, scorer) -> None:
         alpha=t.alpha, beta=t.beta,
         base_rate=np.nan if t.base_rate is None else t.base_rate,
         mode=np.array([t._training_mode]),
+        # Tokenizer options captured at index time. retrieve_texts must
+        # tokenize queries identically after a checkpoint round-trip;
+        # stem is stored as a string so named stemmers round-trip too.
+        tok_opts=np.array([
+            str(scorer._tok_opts.get("lowercase", True)),
+            str(scorer._tok_opts.get("remove_stopwords", True)),
+            str(scorer._tok_opts.get("stem", True)),
+        ]),
     )
+
+
+def _decode_tok_opt(v: str):
+    if v == "True":
+        return True
+    if v == "False":
+        return False
+    return v
 
 
 def load_scorer(path: str):
@@ -184,6 +200,13 @@ def load_scorer(path: str):
         base_rate=None if np.isnan(br) else br,
     )
     scorer._transform._training_mode = str(data["mode"][0])
+    if "tok_opts" in data:  # v1/v2 archives predate tok_opts; keep defaults
+        raw = [str(x) for x in np.asarray(data["tok_opts"])]
+        scorer._tok_opts = dict(
+            lowercase=_decode_tok_opt(raw[0]),
+            remove_stopwords=_decode_tok_opt(raw[1]),
+            stem=_decode_tok_opt(raw[2]),
+        )
     return scorer
 
 

@@ -852,6 +852,15 @@ bool parse_beir_line(const char* line, const char* end, std::string* id,
     if (target != nullptr && s < end && *s == '"') {
       ++s;
       if (!decode_json_string(&s, end, target)) return false;
+    } else if (target == id && s < end && *s != '{' && *s != '[') {
+      // Non-string scalar _id (number/bool/null): BEIR exports from some
+      // tools emit integer ids. Stringify the raw token so the document
+      // is kept, matching the Python fallback's str(row["_id"]).
+      const char* tok0 = s;
+      if (!skip_json_value(&s, end)) return false;
+      const char* tok1 = s;
+      while (tok1 > tok0 && (tok1[-1] == ' ' || tok1[-1] == '\t')) --tok1;
+      id->append(tok0, (size_t)(tok1 - tok0));
     } else {
       if (!skip_json_value(&s, end)) return false;
     }

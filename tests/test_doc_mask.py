@@ -146,3 +146,30 @@ class TestMaskedThresholded:
         # masked counts never exceed unmasked counts
         _, _, n0 = s.retrieve_thresholded(queries[:8], 0.1, k=10)
         assert np.all(n1 <= n0)
+
+
+class TestThresholdZeroMaskContract:
+    """threshold=0.0 must still honor doc_mask and exclude zero-score
+    docs (advisor finding: probs >= 0.0 admitted masked/zeroed docs into
+    n_passing and the returned set)."""
+
+    def test_threshold_zero_excludes_masked(self, built):
+        s, queries = built
+        mask = np.ones(s.num_docs, dtype=bool)
+        mask[::2] = False
+        ids, probs, n_passing = s.retrieve_thresholded(
+            queries[:4], 0.0, k=10, doc_mask=mask)
+        live = ids[ids >= 0]
+        assert np.all(mask[live]), "masked docs leaked through threshold=0"
+        # n_passing counts only unmasked, positive-probability docs
+        dense = s.get_probabilities_batch(queries[:4])
+        expect = ((dense > 0) & mask[None, :]).sum(axis=1)
+        np.testing.assert_array_equal(n_passing, expect)
+
+    def test_threshold_zero_excludes_zero_score(self, built):
+        s, queries = built
+        ids, probs, n_passing = s.retrieve_thresholded(queries[:4], 0.0, k=10)
+        dense = s.get_probabilities_batch(queries[:4])
+        expect = (dense > 0).sum(axis=1)
+        np.testing.assert_array_equal(n_passing, expect)
+        assert np.all(probs[ids >= 0] > 0)

@@ -142,3 +142,47 @@ class TestScorerCheckpoint:
 
         with pytest.raises(ValueError):
             save_scorer(str(tmp_path / "x.npz"), BayesianBM25Scorer())
+
+
+class TestTokOptsRoundTrip:
+    """Checkpoint round-trips must preserve index-time tokenizer options:
+    retrieve_texts after load must tokenize queries exactly as at index
+    time (advisor finding: stem/stopword drift silently changed
+    probabilities after save/load)."""
+
+    def test_tok_opts_persist(self, tmp_path):
+        from bayesian_bm25_tpu import BayesianBM25Scorer
+        from bayesian_bm25_tpu.utils.io import load_scorer, save_scorer
+
+        texts = [
+            "the running dogs are quickly jumping over lazy foxes",
+            "a runner runs while dogs bark at the running water",
+            "information retrieval systems running probabilistic ranking",
+            "dogs and foxes running through the misty forest tonight",
+        ] * 4
+        s = BayesianBM25Scorer()
+        s.index_texts(texts, stem=False, remove_stopwords=False)
+        path = str(tmp_path / "scorer.npz")
+        save_scorer(path, s)
+        s2 = load_scorer(path)
+        assert s2._tok_opts == s._tok_opts
+        q = ["the running dogs"]
+        np.testing.assert_allclose(
+            s2.retrieve_texts(q)[1], s.retrieve_texts(q)[1], rtol=1e-6)
+
+    def test_legacy_archive_defaults(self, tmp_path):
+        """Archives without tok_opts (v1/v2) load with default options."""
+        from bayesian_bm25_tpu import BayesianBM25Scorer
+        from bayesian_bm25_tpu.utils.io import load_scorer, save_scorer
+
+        s = BayesianBM25Scorer()
+        s.index_texts(["alpha beta gamma", "beta gamma delta"] * 3)
+        path = str(tmp_path / "scorer.npz")
+        save_scorer(path, s)
+        # Simulate a legacy archive by stripping the tok_opts entry.
+        data = dict(np.load(path, allow_pickle=False))
+        del data["tok_opts"]
+        np.savez(path, **data)
+        s2 = load_scorer(path)
+        assert s2._tok_opts == dict(lowercase=True, remove_stopwords=True,
+                                    stem=True)

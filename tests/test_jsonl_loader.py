@@ -212,11 +212,11 @@ class TestParserFuzz:
             f.write('{"_id": "good1", "text": "ok"}\n')
             f.write('{"_id": "trunc", "text": "unterminated\n')
             f.write('not json at all\n')
-            f.write('{"_id": 42, "text": "non-string id -> dropped"}\n')
+            f.write('{"_id": 42, "text": "non-string id -> stringified"}\n')
             f.write('{"_id": "good2", "text": "also ok"}\n')
         ids, _, texts = load_jsonl_native(str(path))
-        assert ids == ["good1", "good2"]
-        assert texts[0] == "ok" and texts[1] == "also ok"
+        assert ids == ["good1", "42", "good2"]
+        assert texts[0] == "ok" and texts[2] == "also ok"
 
 
 class TestMultiFieldJsonl:
@@ -294,3 +294,50 @@ class TestNativeMemoryStability:
         # ru_maxrss is KB on Linux; 300 leaked copies of a ~100 KB blob
         # would add ~30 MB. Allow 8 MB of allocator noise.
         assert rss1 - rss0 < 8192, f"RSS grew {rss1 - rss0} KB"
+
+
+@needs_native
+class TestIdEdgeCases:
+    """Advisor findings: numeric _id values must be kept (stringified, as
+    the Python fallback does), and invalid-UTF-8 ids (lone surrogates)
+    must not raise mid-load."""
+
+    def test_numeric_id_kept(self, tmp_path):
+        p = tmp_path / "num.jsonl"
+        p.write_text('{"_id": 1, "title": "", "text": "int id doc"}\n'
+                     '{"_id": "2", "title": "", "text": "str id doc"}\n'
+                     '{"_id": 3.5, "title": "", "text": "float id doc"}\n'
+                     '{"_id": true, "title": "", "text": "bool id doc"}\n')
+        ids, titles, texts = load_jsonl_native(str(p))
+        assert ids == ["1", "2", "3.5", "true"]
+        assert list(texts) == ["int id doc", "str id doc", "float id doc",
+                               "bool id doc"]
+
+    def test_numeric_id_matches_python_fallback(self, tmp_path):
+        rows = [{"_id": 7, "text": "native and python must agree"},
+                {"_id": "8", "text": "on id-kept document sets"}]
+        p = tmp_path / "mix.jsonl"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        ids, _, texts = load_jsonl_native(str(p))
+        py_ids = [str(r["_id"]) for r in rows]
+        assert ids == py_ids
+
+    def test_lone_surrogate_id_does_not_raise(self, tmp_path):
+        p = tmp_path / "sur.jsonl"
+        p.write_text('{"_id": "a\\ud800b", "title": "", "text": "t1"}\n'
+                     '{"_id": "ok", "title": "", "text": "t2"}\n')
+        ids, _, texts = load_jsonl_native(str(p))
+        assert len(ids) == 2
+        assert ids[1] == "ok"
+        assert list(texts) == ["t1", "t2"]
+
+    def test_object_id_dropped(self, tmp_path):
+        """A structured _id has no string form worth inventing: drop it
+        (both loaders treat it as missing)."""
+        p = tmp_path / "obj.jsonl"
+        p.write_text('{"_id": {"x": 1}, "text": "dropped"}\n'
+                     '{"_id": "kept", "text": "kept doc"}\n')
+        ids, _, texts = load_jsonl_native(str(p))
+        assert ids == ["kept"]

@@ -200,3 +200,27 @@ class TestShardedDocMask:
         with pytest.raises(ValueError, match="doc_mask"):
             sc.retrieve([corpus[0][:3]], k=3,
                         doc_mask=np.ones(7, dtype=bool))
+
+
+class TestAddDocumentsNonDividingMesh:
+    """add_documents must use the mesh-aware pad multiple (advisor
+    finding: the inherited default 2048 pad broke device_put on meshes
+    whose size doesn't divide 2048, e.g. 3)."""
+
+    def test_add_documents_on_3_device_mesh(self):
+        rng = np.random.default_rng(7)
+        corpus = random_corpus(rng, 60, 120, 20)
+        extra = random_corpus(rng, 15, 120, 20)
+        single = BayesianBM25Scorer(base_rate="auto")
+        single.index(corpus, show_progress=False)
+        single.add_documents(extra)
+        shard = ShardedBayesianBM25Scorer(base_rate="auto", n_devices=3)
+        shard.index(corpus, show_progress=False)
+        shard.add_documents(extra)
+        assert shard.num_docs == single.num_docs
+        assert shard._index.term_ids.shape[0] % 3 == 0
+        q = [corpus[0][:4], extra[0][:4]]
+        ids_s, probs_s, *_ = single.retrieve(q, k=5)
+        ids_d, probs_d, *_ = shard.retrieve(q, k=5)
+        np.testing.assert_array_equal(ids_s, ids_d)
+        np.testing.assert_allclose(probs_s, probs_d, rtol=1e-5, atol=1e-7)
