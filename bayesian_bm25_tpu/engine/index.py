@@ -343,7 +343,7 @@ def build_index_from_texts(
     *,
     lowercase: bool = True,
     remove_stopwords: bool = True,
-    stem: bool = True,
+    stem: bool | str = True,
     use_native: bool | str = "auto",
     return_tokens: bool = True,
 ):

@@ -18,6 +18,8 @@ import ctypes
 import os
 import subprocess
 import threading
+
+from bayesian_bm25_tpu.engine.tokenize import stem_mode as _stem_mode
 from itertools import chain as _chain
 
 import numpy as np
@@ -205,7 +207,7 @@ def tokenize_texts_native(texts: list[str], *, lowercase=True,
     blob, offsets = _pack_texts(texts)
     res = lib.bb25_tokenize(
         blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        len(texts), int(lowercase), int(remove_stopwords), int(stem),
+        len(texts), int(lowercase), int(remove_stopwords), _stem_mode(stem),
     )
     try:
         r = res.contents
@@ -263,7 +265,7 @@ def build_corpus_native(texts: list[str], *, lowercase=True,
     blob, offsets = _pack_texts(texts)
     res = lib.bb25_build_corpus(
         blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        len(texts), int(lowercase), int(remove_stopwords), int(stem),
+        len(texts), int(lowercase), int(remove_stopwords), _stem_mode(stem),
     )
     return _unpack_corpus(lib, res, len(texts))
 
@@ -388,7 +390,7 @@ class VocabEncoder:
         res = self._lib.bb25_encode_texts(
             self._h, blob,
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(texts), int(lowercase), int(remove_stopwords), int(stem))
+            len(texts), int(lowercase), int(remove_stopwords), _stem_mode(stem))
         return _unpack_pairs(self._lib, res)
 
 

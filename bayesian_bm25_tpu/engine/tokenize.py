@@ -171,12 +171,44 @@ def porter_stem(word: str) -> str:
     return w
 
 
+# stem option -> native mode int (the C ABI's stem parameter).
+_STEM_MODES = {False: 0, True: 1, "none": 0, "porter": 1, "snowball": 2}
+
+
+def stem_mode(stem: bool | str) -> int:
+    """Normalize a ``stem`` option (bool, or "none"/"porter"/"snowball")
+    to the integer mode shared with the C++ tokenizer (0/1/2).
+
+    "snowball" is Porter2 — what the reference's BEIR harness uses
+    (reference benchmarks/hybrid_beir.py:288-296); plain ``True`` keeps
+    the classic-Porter default for backward compatibility.
+    """
+    try:
+        return _STEM_MODES[stem]
+    except (KeyError, TypeError):
+        raise ValueError(
+            f"stem must be a bool or one of 'none'/'porter'/'snowball', "
+            f"got {stem!r}"
+        ) from None
+
+
+def _stem_fn(stem: bool | str):
+    mode = stem_mode(stem)
+    if mode == 1:
+        return porter_stem
+    if mode == 2:
+        from bayesian_bm25_tpu.engine.snowball import snowball_stem
+
+        return snowball_stem
+    return None
+
+
 def tokenize_py(
     text: str,
     *,
     lowercase: bool = True,
     remove_stopwords: bool = True,
-    stem: bool = True,
+    stem: bool | str = True,
 ) -> list[str]:
     """Pure-Python tokenization pipeline (behavioral reference)."""
     if lowercase:
@@ -184,8 +216,9 @@ def tokenize_py(
     tokens = _WORD_RE.findall(text)
     if remove_stopwords:
         tokens = [t for t in tokens if t not in STOPWORDS]
-    if stem:
-        tokens = [porter_stem(t) for t in tokens]
+    fn = _stem_fn(stem)
+    if fn is not None:
+        tokens = [fn(t) for t in tokens]
     return tokens
 
 
@@ -194,10 +227,14 @@ def tokenize_texts(
     *,
     lowercase: bool = True,
     remove_stopwords: bool = True,
-    stem: bool = True,
+    stem: bool | str = True,
     use_native: bool | str = "auto",
 ) -> list[list[str]]:
-    """Tokenize a batch of texts, preferring the C++ pipeline when built."""
+    """Tokenize a batch of texts, preferring the C++ pipeline when built.
+
+    ``stem`` accepts a bool (True = classic Porter) or a stemmer name:
+    "none", "porter", or "snowball" (Porter2, the BEIR-parity choice).
+    """
     if use_native == "auto" or use_native is True:
         try:
             from bayesian_bm25_tpu.engine.native import tokenize_texts_native

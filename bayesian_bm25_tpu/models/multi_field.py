@@ -84,7 +84,7 @@ class MultiFieldScorer:
 
     def index_jsonl(self, path: str, *, lowercase: bool = True,
                     remove_stopwords: bool = True,
-                    stem: bool = True) -> list[str]:
+                    stem: bool | str = True) -> list[str]:
         """Index a BEIR corpus.jsonl as title/body fields natively.
 
         Requires ``fields == ["title", "body"]`` (the BEIR convention the

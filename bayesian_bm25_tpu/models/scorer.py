@@ -306,7 +306,7 @@ class BayesianBM25Scorer:
         )
 
     def index_texts(self, texts: list[str], *, lowercase: bool = True,
-                    remove_stopwords: bool = True, stem: bool = True) -> None:
+                    remove_stopwords: bool = True, stem: bool | str = True) -> None:
         """Index raw texts via the native tokenize+build pipeline.
 
         TPU-native extension over the reference's tokens-only ``index()``:
@@ -354,7 +354,7 @@ class BayesianBM25Scorer:
 
     def index_jsonl(self, path: str, *, lowercase: bool = True,
                     remove_stopwords: bool = True,
-                    stem: bool = True) -> list[str]:
+                    stem: bool | str = True) -> list[str]:
         """Index a BEIR-format corpus.jsonl end-to-end natively.
 
         The C++ data loader parses the file (depth-tracked mini-JSON:

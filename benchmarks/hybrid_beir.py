@@ -121,9 +121,12 @@ def run_dataset(
     doc_ids = ds.doc_ids
     doc_pos = {d: i for i, d in enumerate(doc_ids)}
     doc_texts = [ds.corpus[d] for d in doc_ids]
-    corpus_tokens = tokenize_texts(doc_texts)
+    # Snowball (Porter2) matches the reference harness's bm25s +
+    # SnowballStemmer('english') tokenization (hybrid_beir.py:288-296).
+    corpus_tokens = tokenize_texts(doc_texts, stem="snowball")
     qids_list = list(ds.queries.keys())
-    query_tokens = tokenize_texts([ds.queries[q] for q in qids_list])
+    query_tokens = tokenize_texts([ds.queries[q] for q in qids_list],
+                                  stem="snowball")
     log(f"tokenized {len(doc_ids)} docs / {len(qids_list)} queries")
 
     # --- index four BM25 scorers (plain + three auto base-rate modes) ------
@@ -146,7 +149,7 @@ def run_dataset(
     mf_bal_weight = 0.5
     if ds.titles:
         title_tokens = tokenize_texts(
-            [ds.titles.get(d, "") for d in doc_ids]
+            [ds.titles.get(d, "") for d in doc_ids], stem="snowball"
         )
         mf = MultiFieldScorer(["title", "body"], base_rate="auto")
         mf.index(

@@ -195,8 +195,342 @@ std::string porter_stem(const std::string& word) {
   return w;
 }
 
+// ----- Snowball (Porter2) English stemmer ----------------------------------
+//
+// Behavioral mirror of bayesian_bm25_tpu/engine/snowball.py (which is
+// fuzz-verified exact against NLTK's SnowballStemmer('english')). R1/R2
+// are maintained as suffix strings of the evolving word; the three edit
+// kinds treat regions shorter than the matched suffix differently, so
+// they are distinct helpers rather than one generic replace.
+
+namespace sb {
+
+inline bool is_v(char c) {
+  return c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' ||
+         c == 'y';
+}
+
+struct State {
+  std::string w, r1, r2;
+};
+
+inline bool ends(const std::string& s, const char* suf) {
+  size_t n = std::strlen(suf);
+  return s.size() >= n && std::memcmp(s.data() + s.size() - n, suf, n) == 0;
+}
+
+// Drop the last k chars of word/R1/R2 alike (regions may underflow to
+// empty, like Python's s[:-k]).
+void trunc(State& st, size_t k) {
+  auto cut = [k](std::string& x) {
+    x.resize(x.size() > k ? x.size() - k : 0);
+  };
+  cut(st.w);
+  cut(st.r1);
+  cut(st.r2);
+}
+
+// Drop 1 char, append 'e'; empty regions stay empty.
+void edit_e1(State& st) {
+  auto fix = [](std::string& x) {
+    if (!x.empty()) {
+      x.back() = 'e';
+    }
+  };
+  st.w.back() = 'e';
+  fix(st.r1);
+  fix(st.r2);
+}
+
+// Replace the n-char suffix with rep; a region shorter than the suffix
+// collapses ("" for R1, fb2 for R2).
+void repl(State& st, size_t n, const char* rep, const char* fb2) {
+  st.w.resize(st.w.size() - n);
+  st.w += rep;
+  if (st.r1.size() >= n) {
+    st.r1.resize(st.r1.size() - n);
+    st.r1 += rep;
+  } else {
+    st.r1.clear();
+  }
+  if (st.r2.size() >= n) {
+    st.r2.resize(st.r2.size() - n);
+    st.r2 += rep;
+  } else {
+    st.r2 = fb2;
+  }
+}
+
+const std::unordered_map<std::string, std::string>& special_words() {
+  static const std::unordered_map<std::string, std::string> kSpecial = {
+      {"skis", "ski"},        {"skies", "sky"},
+      {"dying", "die"},       {"lying", "lie"},
+      {"tying", "tie"},       {"idly", "idl"},
+      {"gently", "gentl"},    {"ugly", "ugli"},
+      {"early", "earli"},     {"only", "onli"},
+      {"singly", "singl"},    {"sky", "sky"},
+      {"news", "news"},       {"howe", "howe"},
+      {"atlas", "atlas"},     {"cosmos", "cosmos"},
+      {"bias", "bias"},       {"andes", "andes"},
+      {"inning", "inning"},   {"innings", "inning"},
+      {"outing", "outing"},   {"outings", "outing"},
+      {"canning", "canning"}, {"cannings", "canning"},
+      {"herring", "herring"}, {"herrings", "herring"},
+      {"earring", "earring"}, {"earrings", "earring"},
+      {"proceed", "proceed"}, {"proceeds", "proceed"},
+      {"proceeded", "proceed"}, {"proceeding", "proceed"},
+      {"exceed", "exceed"},   {"exceeds", "exceed"},
+      {"exceeded", "exceed"}, {"exceeding", "exceed"},
+      {"succeed", "succeed"}, {"succeeds", "succeed"},
+      {"succeeded", "succeed"}, {"succeeding", "succeed"},
+  };
+  return kSpecial;
+}
+
+inline bool ends_double(const std::string& w) {
+  if (w.size() < 2) return false;
+  char a = w[w.size() - 2], b = w[w.size() - 1];
+  if (a != b) return false;
+  return a == 'b' || a == 'd' || a == 'f' || a == 'g' || a == 'm' ||
+         a == 'n' || a == 'p' || a == 'r' || a == 't';
+}
+
+inline bool any_vowel(const std::string& w, size_t upto) {
+  for (size_t i = 0; i < upto && i < w.size(); ++i)
+    if (is_v(w[i])) return true;
+  return false;
+}
+
+void mark_regions(State& st) {
+  const std::string& w = st.w;
+  size_t r1_start = w.size();
+  if (w.rfind("gener", 0) == 0 || w.rfind("arsen", 0) == 0) {
+    r1_start = 5;
+  } else if (w.rfind("commun", 0) == 0) {
+    r1_start = 6;
+  } else {
+    for (size_t i = 1; i < w.size(); ++i) {
+      if (!is_v(w[i]) && is_v(w[i - 1])) {
+        r1_start = i + 1;
+        break;
+      }
+    }
+  }
+  if (r1_start < w.size()) st.r1 = w.substr(r1_start);
+  for (size_t i = 1; i < st.r1.size(); ++i) {
+    if (!is_v(st.r1[i]) && is_v(st.r1[i - 1])) {
+      st.r2 = st.r1.substr(i + 1);
+      break;
+    }
+  }
+}
+
+std::string stem(const std::string& word) {
+  if (word.size() <= 2) return word;
+  auto& sp = special_words();
+  auto it = sp.find(word);
+  if (it != sp.end()) return it->second;
+
+  State st;
+  st.w = word;
+  std::string& w = st.w;
+  if (w[0] == '\'') w.erase(0, 1);
+  if (!w.empty() && w[0] == 'y') w[0] = 'Y';
+  for (size_t i = 1; i < w.size(); ++i)
+    if (w[i] == 'y' && is_v(w[i - 1])) w[i] = 'Y';
+
+  mark_regions(st);
+  std::string& r1 = st.r1;
+  std::string& r2 = st.r2;
+
+  // Step 0: possessive markers.
+  for (const char* suf : {"'s'", "'s", "'"}) {
+    if (ends(w, suf)) {
+      trunc(st, std::strlen(suf));
+      break;
+    }
+  }
+
+  // Step 1a: plural endings.
+  if (ends(w, "sses")) {
+    trunc(st, 2);
+  } else if (ends(w, "ied") || ends(w, "ies")) {
+    trunc(st, w.size() > 4 ? 2 : 1);
+  } else if (ends(w, "us") || ends(w, "ss")) {
+    // keep
+  } else if (ends(w, "s")) {
+    if (w.size() >= 2 && any_vowel(w, w.size() - 2)) trunc(st, 1);
+  }
+
+  // Step 1b: -ed/-ing families.
+  for (const char* suf : {"eedly", "ingly", "edly", "eed", "ing", "ed"}) {
+    if (!ends(w, suf)) continue;
+    size_t n = std::strlen(suf);
+    if (n >= 3 && suf[0] == 'e' && suf[1] == 'e') {  // eed / eedly
+      if (ends(r1, suf)) repl(st, n, "ee", "");
+    } else if (any_vowel(w, w.size() - n)) {
+      trunc(st, n);
+      if (ends(w, "at") || ends(w, "bl") || ends(w, "iz")) {
+        w += 'e';
+        r1 += 'e';
+        // Marker quirk: the e lands in R2 only for words already long
+        // enough to have reached it.
+        if (w.size() > 5 || r1.size() >= 3) r2 += 'e';
+      } else if (ends_double(w)) {
+        trunc(st, 1);
+      } else if (r1.empty() &&
+                 ((w.size() >= 3 && !is_v(w[w.size() - 1]) &&
+                   w[w.size() - 1] != 'w' && w[w.size() - 1] != 'x' &&
+                   w[w.size() - 1] != 'Y' && is_v(w[w.size() - 2]) &&
+                   !is_v(w[w.size() - 3])) ||
+                  (w.size() == 2 && is_v(w[0]) && !is_v(w[1])))) {
+        w += 'e';  // short word: restore the e (regions stay empty)
+      }
+    }
+    break;
+  }
+
+  // Step 1c: terminal y after a consonant.
+  if (w.size() > 2 && (w.back() == 'y' || w.back() == 'Y') &&
+      !is_v(w[w.size() - 2])) {
+    w.back() = 'i';
+    if (!r1.empty()) r1.back() = 'i';
+    if (!r2.empty()) r2.back() = 'i';
+  }
+
+  // Step 2 (longest match, first endswith wins; applies only inside R1).
+  {
+    struct Rule {
+      const char* suf;
+      int kind;  // 0 trunc, 1 e1, 2 repl
+      size_t k;
+      const char* rep;
+      const char* fb2;
+    };
+    static const Rule kStep2[] = {
+        {"ization", 2, 0, "ize", ""}, {"ational", 2, 0, "ate", "e"},
+        {"fulness", 0, 4, "", ""},    {"ousness", 2, 0, "ous", ""},
+        {"iveness", 2, 0, "ive", "e"}, {"tional", 0, 2, "", ""},
+        {"biliti", 2, 0, "ble", ""},  {"lessli", 0, 2, "", ""},
+        {"entli", 0, 2, "", ""},      {"ation", 2, 0, "ate", "e"},
+        {"alism", 2, 0, "al", ""},    {"aliti", 2, 0, "al", ""},
+        {"ousli", 2, 0, "ous", ""},   {"iviti", 2, 0, "ive", "e"},
+        {"fulli", 0, 2, "", ""},      {"enci", 1, 0, "", ""},
+        {"anci", 1, 0, "", ""},       {"abli", 1, 0, "", ""},
+        {"izer", 2, 0, "ize", ""},    {"ator", 2, 0, "ate", "e"},
+        {"alli", 2, 0, "al", ""},
+    };
+    bool matched = false;
+    for (const Rule& rule : kStep2) {
+      if (ends(w, rule.suf)) {
+        matched = true;
+        if (ends(r1, rule.suf)) {
+          if (rule.kind == 0) {
+            trunc(st, rule.k);
+          } else if (rule.kind == 1) {
+            edit_e1(st);
+          } else {
+            repl(st, std::strlen(rule.suf), rule.rep, rule.fb2);
+          }
+        }
+        break;
+      }
+    }
+    if (!matched) {
+      if (ends(w, "bli")) {
+        if (ends(r1, "bli")) repl(st, 3, "ble", "");
+      } else if (ends(w, "ogi")) {
+        if (ends(r1, "ogi") && w.size() >= 4 && w[w.size() - 4] == 'l')
+          trunc(st, 1);
+      } else if (ends(w, "li")) {
+        if (ends(r1, "li") && w.size() >= 3) {
+          char c = w[w.size() - 3];
+          if (c == 'c' || c == 'd' || c == 'e' || c == 'g' || c == 'h' ||
+              c == 'k' || c == 'm' || c == 'n' || c == 'r' || c == 't')
+            trunc(st, 2);
+        }
+      }
+    }
+  }
+
+  // Step 3 (inside R1; -ative additionally requires R2).
+  {
+    struct Rule {
+      const char* suf;
+      int kind;  // 0 trunc, 2 repl
+      size_t k;
+      const char* rep;
+    };
+    static const Rule kStep3[] = {
+        {"ational", 2, 0, "ate"}, {"tional", 0, 2, ""},
+        {"alize", 0, 3, ""},      {"icate", 2, 0, "ic"},
+        {"iciti", 2, 0, "ic"},    {"ical", 2, 0, "ic"},
+        {"ness", 0, 4, ""},       {"ful", 0, 3, ""},
+    };
+    bool matched = false;
+    for (const Rule& rule : kStep3) {
+      if (ends(w, rule.suf)) {
+        matched = true;
+        if (ends(r1, rule.suf)) {
+          if (rule.kind == 0) {
+            trunc(st, rule.k);
+          } else {
+            repl(st, std::strlen(rule.suf), rule.rep, "");
+          }
+        }
+        break;
+      }
+    }
+    if (!matched && ends(w, "ative") && ends(r1, "ative") &&
+        ends(r2, "ative")) {
+      trunc(st, 5);
+    }
+  }
+
+  // Step 4 (inside R2; -ion only after s/t).
+  {
+    static const char* kStep4[] = {"ement", "ance", "ence", "able", "ible",
+                                   "ment", "ant", "ent", "ism", "ate",
+                                   "iti", "ous", "ive", "ize", "al", "er",
+                                   "ic"};
+    bool matched = false;
+    for (const char* suf : kStep4) {
+      if (ends(w, suf)) {
+        matched = true;
+        if (ends(r2, suf)) trunc(st, std::strlen(suf));
+        break;
+      }
+    }
+    if (!matched && ends(w, "ion") && ends(r2, "ion") && w.size() >= 4 &&
+        (w[w.size() - 4] == 's' || w[w.size() - 4] == 't')) {
+      trunc(st, 3);
+    }
+  }
+
+  // Step 5: residual e/l.
+  if (ends(r2, "l") && w.size() >= 2 && w[w.size() - 2] == 'l') {
+    w.resize(w.size() - 1);
+  } else if (ends(r2, "e")) {
+    w.resize(w.size() - 1);
+  } else if (ends(r1, "e")) {
+    if (w.size() >= 4 &&
+        (is_v(w[w.size() - 2]) || w[w.size() - 2] == 'w' ||
+         w[w.size() - 2] == 'x' || w[w.size() - 2] == 'Y' ||
+         !is_v(w[w.size() - 3]) || is_v(w[w.size() - 4]))) {
+      w.resize(w.size() - 1);
+    }
+  }
+
+  for (char& c : w)
+    if (c == 'Y') c = 'y';
+  return w;
+}
+
+}  // namespace sb
+
+// stem_mode: 0 = none, 1 = Porter (1980), 2 = Snowball English (Porter2).
 void tokenize_one(const char* begin, const char* end, bool lowercase,
-                  bool remove_stop, bool stem,
+                  bool remove_stop, int stem_mode,
                   std::vector<std::string>* out) {
   std::string cur;
   for (const char* p = begin; p <= end; ++p) {
@@ -206,7 +540,13 @@ void tokenize_one(const char* begin, const char* end, bool lowercase,
       cur += c;
     } else if (!cur.empty()) {
       if (!remove_stop || !stopwords().count(cur)) {
-        out->push_back(stem ? porter_stem(cur) : cur);
+        if (stem_mode == 1) {
+          out->push_back(porter_stem(cur));
+        } else if (stem_mode == 2) {
+          out->push_back(sb::stem(cur));
+        } else {
+          out->push_back(cur);
+        }
       }
       cur.clear();
     }
@@ -238,7 +578,7 @@ TokenizeResult* bb25_tokenize(const char* blob, const int64_t* offsets,
   for (int64_t d = 0; d < n_docs; ++d) {
     tokens.clear();
     tokenize_one(blob + offsets[d], blob + offsets[d + 1], lowercase != 0,
-                 remove_stop != 0, stem != 0, &tokens);
+                 remove_stop != 0, stem, &tokens);
     for (const auto& t : tokens) {
       token_blob += t;
       token_offsets.push_back((int64_t)token_blob.size());
@@ -377,7 +717,7 @@ CorpusResult* bb25_build_corpus(const char* blob, const int64_t* offsets,
     tokens.clear();
     b.begin_doc();
     tokenize_one(blob + offsets[d], blob + offsets[d + 1], lowercase != 0,
-                 remove_stop != 0, stem != 0, &tokens);
+                 remove_stop != 0, stem, &tokens);
     for (const auto& t : tokens) b.add_token_id(b.intern(t.data(), t.size()));
     b.end_doc((int32_t)tokens.size());
   }
@@ -663,7 +1003,7 @@ EncodeResult* bb25_encode_texts(void* vh, const char* blob,
     tokens.clear();
     tids.clear();
     tokenize_one(blob + offsets[q], blob + offsets[q + 1], lowercase != 0,
-                 remove_stop != 0, stem != 0, &tokens);
+                 remove_stop != 0, stem, &tokens);
     for (const auto& t : tokens) {
       int32_t id = h->find(t.data(), t.size());
       if (id >= 0) tids.push_back(id);

@@ -281,3 +281,148 @@ class TestNativeRobustness:
         for t in toks:
             expected[t] = expected.get(t, 0) + 1
         assert got == expected
+
+
+class TestSnowballStemmer:
+    """Porter2 (Snowball English): the stemmer the reference's BEIR
+    harness uses (reference benchmarks/hybrid_beir.py:288-296)."""
+
+    CANONICAL = [
+        ("running", "run"), ("generously", "generous"), ("flies", "fli"),
+        ("dogs", "dog"), ("agreed", "agre"), ("fairly", "fair"),
+        ("sky", "sky"), ("relational", "relat"), ("conditional", "condit"),
+        ("dying", "die"), ("lying", "lie"), ("news", "news"),
+        ("proceed", "proceed"), ("exceeding", "exceed"),
+        ("communism", "communism"), ("generate", "generat"),
+        ("organization", "organ"), ("realization", "realiz"),
+        ("civilization", "civil"), ("hopefulness", "hope"),
+        ("decisiveness", "decis"), ("knitting", "knit"),
+        ("hopping", "hop"), ("hoping", "hope"), ("ties", "tie"),
+        ("cries", "cri"), ("congratulations", "congratul"),
+    ]
+
+    def test_canonical_forms(self):
+        from bayesian_bm25_tpu.engine.snowball import snowball_stem
+        try:
+            from nltk.stem.snowball import SnowballStemmer
+            oracle = SnowballStemmer("english").stem
+        except ImportError:
+            oracle = None
+        for word, expected in self.CANONICAL:
+            got = snowball_stem(word)
+            if oracle is not None:
+                assert got == oracle(word), (word, got, oracle(word))
+            else:
+                assert got == expected, (word, got, expected)
+
+    def test_fuzz_against_nltk(self):
+        """Exact agreement with NLTK's SnowballStemmer('english') over an
+        adversarial random vocabulary exercising every suffix family."""
+        nltk = pytest.importorskip("nltk.stem.snowball")
+        import random
+
+        from bayesian_bm25_tpu.engine.snowball import snowball_stem
+        oracle = nltk.SnowballStemmer("english")
+        sufs = ["", "s", "es", "ies", "ed", "ing", "ingly", "edly", "eed",
+                "eedly", "ation", "ational", "iveness", "fulness",
+                "ousness", "ization", "izer", "ator", "alism", "aliti",
+                "ality", "ive", "ly", "li", "ful", "ness", "ment",
+                "ement", "ence", "ance", "able", "ible", "ant", "ent",
+                "ism", "ate", "iti", "ous", "ize", "ion", "tion", "sion",
+                "al", "er", "ic", "ical", "icate", "ative", "alize",
+                "iciti", "ogi", "bli", "abli", "enci", "anci", "lessli",
+                "fulli", "ousli", "entli", "biliti", "iviti", "alli",
+                "e", "l", "ll", "y", "ey", "sses", "ied", "us", "ss"]
+        rng = random.Random(42)
+        for _ in range(8000):
+            n = rng.randint(1, 8)
+            stem = "".join(rng.choice("abcdefghilmnoprstuvwyy")
+                           for _ in range(n))
+            w = stem + rng.choice(sufs) + rng.choice(["", rng.choice(sufs)])
+            assert snowball_stem(w) == oracle.stem(w), w
+
+    def test_porter_vs_snowball_documented_divergence(self):
+        """Porter != Porter2 on a real vocabulary — the reason 'snowball'
+        exists as an option (BEIR numbers shift silently otherwise)."""
+        from bayesian_bm25_tpu.engine.snowball import snowball_stem
+        from bayesian_bm25_tpu.engine.tokenize import porter_stem
+        diverging = {
+            "generously": ("gener", "generous"),
+            "dying": ("dy", "die"),
+            "early": ("earli", "earli"),
+            "tying": ("ty", "tie"),
+        }
+        for w, (p, s) in diverging.items():
+            assert porter_stem(w) == p
+            assert snowball_stem(w) == s
+        assert porter_stem("generously") != snowball_stem("generously")
+
+    def test_stem_mode_mapping(self):
+        from bayesian_bm25_tpu.engine.tokenize import stem_mode
+        assert stem_mode(False) == 0
+        assert stem_mode(True) == 1
+        assert stem_mode("none") == 0
+        assert stem_mode("porter") == 1
+        assert stem_mode("snowball") == 2
+        with pytest.raises(ValueError):
+            stem_mode("lancaster")
+        with pytest.raises(ValueError):
+            stem_mode(2)
+
+    def test_tokenize_with_snowball(self):
+        got = tokenize_py("The dogs were running generously",
+                          stem="snowball")
+        assert got == ["dog", "were", "run", "generous"]
+
+
+class TestSnowballNativeParity:
+    """The C++ Snowball mirror must agree with the Python one exactly."""
+
+    @pytest.fixture(scope="class")
+    def native_available(self):
+        try:
+            from bayesian_bm25_tpu.engine.native import tokenize_texts_native
+
+            tokenize_texts_native(["probe"])
+            return True
+        except (ImportError, OSError):
+            pytest.skip("native toolchain unavailable")
+
+    def test_tokenize_parity_snowball(self, native_available):
+        from bayesian_bm25_tpu.engine.native import tokenize_texts_native
+        import random
+        rng = random.Random(3)
+        sufs = ["", "s", "ies", "ed", "ing", "ization", "ational", "enci",
+                "abli", "ogi", "bli", "li", "ical", "ative", "iveness",
+                "ion", "ement", "ous", "e", "l", "ly", "y", "eedly"]
+        texts = []
+        for _ in range(300):
+            words = []
+            for _ in range(rng.randint(1, 12)):
+                stem = "".join(rng.choice("abcdefghilmnoprstuvwy")
+                               for _ in range(rng.randint(1, 8)))
+                words.append(stem + rng.choice(sufs))
+            texts.append(" ".join(words))
+        texts += ["The RUNNING dogs, agreed; generously!",
+                  "realization of organizational skies 123abc"]
+        for rs in (True, False):
+            py = [tokenize_py(t, remove_stopwords=rs, stem="snowball")
+                  for t in texts]
+            nat = tokenize_texts_native(texts, remove_stopwords=rs,
+                                        stem="snowball")
+            assert py == nat
+
+    def test_corpus_build_parity_snowball(self, native_available):
+        from bayesian_bm25_tpu.engine.index import build_index_from_texts
+        texts = ["the dogs were running generously tonight",
+                 "organizational realization of decisiveness",
+                 "flies cried hopefully over communities"] * 3
+        idx_nat, _ = build_index_from_texts(texts, stem="snowball",
+                                            return_tokens=False)
+        toks = [tokenize_py(t, stem="snowball") for t in texts]
+        from bayesian_bm25_tpu.engine.index import build_index
+        idx_py = build_index(toks)
+        assert idx_nat.vocab.keys() == idx_py.vocab.keys()
+        assert idx_nat.n_docs == idx_py.n_docs
+        np.testing.assert_allclose(
+            np.asarray(idx_nat.doc_lengths), np.asarray(idx_py.doc_lengths))
