@@ -349,163 +349,171 @@ class FusionDebugger:
 
     # -- formatting --------------------------------------------------------------
 
+    # -- formatting ----------------------------------------------------------
+    #
+    # The text layout (field names, indentation, precision) deliberately
+    # matches the reference debugger's output so traces are diffable
+    # across implementations; the rendering below is this repo's own
+    # (spec-driven: each block is a list of (guard, line-producer) pairs
+    # evaluated in order).
+
+    @staticmethod
+    def _fmt_seq(values, spec=".3f") -> str:
+        return "[" + ", ".join(format(v, spec) for v in values) + "]"
+
     def format_not(self, trace: NotTrace) -> str:
-        return "\n".join([
-            f"  [NOT {trace.input_name}]",
-            f"    P({trace.input_name}) = {trace.input_probability:.3f}",
-            f"    P(NOT {trace.input_name}) = 1 - {trace.input_probability:.3f}"
-            f" = {trace.complement:.3f}",
-            f"    logit({trace.input_probability:.3f}) = {trace.logit_input:+.3f}",
-            f"    logit({trace.complement:.3f}) = {trace.logit_complement:+.3f}"
-            f"  (sign flipped)",
-        ])
+        name, p, q = trace.input_name, trace.input_probability, trace.complement
+        header = f"  [NOT {name}]"
+        body = (
+            (f"P({name}) = {p:.3f}"),
+            (f"P(NOT {name}) = 1 - {p:.3f} = {q:.3f}"),
+            (f"logit({p:.3f}) = {trace.logit_input:+.3f}"),
+            (f"logit({q:.3f}) = {trace.logit_complement:+.3f}  (sign flipped)"),
+        )
+        return "\n".join([header] + ["    " + line for line in body])
+
+    def _bm25_block(self, name: str, sig: BM25SignalTrace,
+                    verbose: bool) -> list[str]:
+        pad = " " * 9
+        out = [
+            f"  [{name}] raw={sig.raw_score:.2f}"
+            f" -> likelihood={sig.likelihood:.3f}"
+            f" (alpha={sig.alpha:.2f}, beta={sig.beta:.2f})",
+            pad + f"tf={sig.tf:.0f} -> tf_prior={sig.tf_prior:.3f}",
+            pad + f"dl_ratio={sig.doc_len_ratio:.2f}"
+                  f" -> norm_prior={sig.norm_prior:.3f}",
+            pad + f"composite_prior={sig.composite_prior:.3f}",
+        ]
+        if sig.base_rate is None:
+            out.append(pad + f"posterior={sig.posterior:.3f}")
+        else:
+            # Prior-only posterior first, then the base-rate-shifted one,
+            # so the base rate's contribution is visible in isolation.
+            plain = float(self._transform.posterior(
+                sig.likelihood, sig.composite_prior, base_rate=None))
+            out.append(pad + f"posterior={plain:.3f}")
+            out.append(pad + f"with base_rate={sig.base_rate:.3f}:"
+                             f" posterior={sig.posterior:.3f}")
+        if verbose:
+            out.append(
+                pad + f"logit(posterior)={float(logit(sig.posterior)):.3f}")
+        out.append("")
+        return out
+
+    @staticmethod
+    def _vector_block(name: str, sig: VectorSignalTrace,
+                      verbose: bool) -> list[str]:
+        out = [f"  [{name}] cosine={sig.cosine_score:.3f}"
+               f" -> prob={sig.probability:.3f}"]
+        if verbose:
+            out.append(" " * 11 + f"logit(prob)={sig.logit_probability:.3f}")
+        out.append("")
+        return out
+
+    def _fusion_block(self, f: FusionTrace, verbose: bool) -> list[str]:
+        head = f"  [Fusion] method={f.method}"
+        if f.alpha is not None:
+            head += f", alpha={f.alpha}"
+        head += f", n={len(f.signal_probabilities)}"
+        if f.gating is not None and f.gating != "none":
+            head += f", gating={f.gating}"
+            if f.gating_beta is not None and f.gating != "gelu":
+                head += f"(beta={f.gating_beta})"
+        out = [head]
+        if verbose:
+            pad = " " * 11
+            # Ordered spec: (present?, lines) per intermediate family --
+            # log-odds, then prob_and, then prob_or.
+            families = (
+                (f.logits is not None,
+                 lambda: [pad + f"logits={self._fmt_seq(f.logits)}"]),
+                (f.mean_logit is not None,
+                 lambda: [pad + f"mean_logit={f.mean_logit:.3f}"]),
+                (f.n_alpha_scale is not None,
+                 lambda: [pad + f"n^alpha={f.n_alpha_scale:.3f},"
+                                f" scaled={f.scaled_logit:.3f}"]),
+                (f.weights is not None,
+                 lambda: [pad + f"weights={self._fmt_seq(f.weights)}"]),
+                (f.log_probs is not None,
+                 lambda: [pad + f"ln(P)={self._fmt_seq(f.log_probs)}",
+                          pad + f"sum(ln(P))={f.log_prob_sum:.3f}"]),
+                (f.complements is not None,
+                 lambda: [pad + f"1-P={self._fmt_seq(f.complements)}"]),
+                (f.log_complements is not None,
+                 lambda: [pad + f"ln(1-P)={self._fmt_seq(f.log_complements)}",
+                          pad + f"sum(ln(1-P))={f.log_complement_sum:.3f}"]),
+            )
+            for present, produce in families:
+                if present:
+                    out.extend(produce())
+        out.append(" " * 11 + f"-> final={f.fused_probability:.3f}")
+        return out
 
     def format_trace(self, trace: DocumentTrace, *, verbose: bool = True) -> str:
-        lines = [f"Document: {trace.doc_id if trace.doc_id is not None else 'unknown'}"]
+        label = "unknown" if trace.doc_id is None else trace.doc_id
+        lines = [f"Document: {label}"]
         for name, sig in trace.signals.items():
             if isinstance(sig, BM25SignalTrace):
-                lines.append(
-                    f"  [{name}] raw={sig.raw_score:.2f}"
-                    f" -> likelihood={sig.likelihood:.3f}"
-                    f" (alpha={sig.alpha:.2f}, beta={sig.beta:.2f})"
-                )
-                lines.append(f"         tf={sig.tf:.0f} -> tf_prior={sig.tf_prior:.3f}")
-                lines.append(
-                    f"         dl_ratio={sig.doc_len_ratio:.2f}"
-                    f" -> norm_prior={sig.norm_prior:.3f}"
-                )
-                lines.append(f"         composite_prior={sig.composite_prior:.3f}")
-                if sig.base_rate is not None:
-                    no_br = float(self._transform.posterior(
-                        sig.likelihood, sig.composite_prior, base_rate=None
-                    ))
-                    lines.append(f"         posterior={no_br:.3f}")
-                    lines.append(
-                        f"         with base_rate={sig.base_rate:.3f}:"
-                        f" posterior={sig.posterior:.3f}"
-                    )
-                else:
-                    lines.append(f"         posterior={sig.posterior:.3f}")
-                if verbose:
-                    lines.append(
-                        f"         logit(posterior)={float(logit(sig.posterior)):.3f}"
-                    )
-                lines.append("")
+                lines += self._bm25_block(name, sig, verbose)
             elif isinstance(sig, VectorSignalTrace):
-                lines.append(
-                    f"  [{name}] cosine={sig.cosine_score:.3f}"
-                    f" -> prob={sig.probability:.3f}"
-                )
-                if verbose:
-                    lines.append(f"           logit(prob)={sig.logit_probability:.3f}")
-                lines.append("")
-
-        f = trace.fusion
-        alpha_str = f", alpha={f.alpha}" if f.alpha is not None else ""
-        gating_str = ""
-        if f.gating is not None and f.gating != "none":
-            gating_str = f", gating={f.gating}"
-            if f.gating_beta is not None and f.gating != "gelu":
-                gating_str += f"(beta={f.gating_beta})"
-        lines.append(
-            f"  [Fusion] method={f.method}{alpha_str},"
-            f" n={len(f.signal_probabilities)}{gating_str}"
-        )
-        if verbose:
-            if f.logits is not None:
-                lines.append(
-                    "           logits=["
-                    + ", ".join(f"{v:.3f}" for v in f.logits) + "]"
-                )
-            if f.mean_logit is not None:
-                lines.append(f"           mean_logit={f.mean_logit:.3f}")
-            if f.n_alpha_scale is not None:
-                lines.append(
-                    f"           n^alpha={f.n_alpha_scale:.3f},"
-                    f" scaled={f.scaled_logit:.3f}"
-                )
-            if f.weights is not None:
-                lines.append(
-                    "           weights=["
-                    + ", ".join(f"{w:.3f}" for w in f.weights) + "]"
-                )
-            if f.log_probs is not None:
-                lines.append(
-                    "           ln(P)=["
-                    + ", ".join(f"{v:.3f}" for v in f.log_probs) + "]"
-                )
-                lines.append(f"           sum(ln(P))={f.log_prob_sum:.3f}")
-            if f.complements is not None:
-                lines.append(
-                    "           1-P=["
-                    + ", ".join(f"{v:.3f}" for v in f.complements) + "]"
-                )
-            if f.log_complements is not None:
-                lines.append(
-                    "           ln(1-P)=["
-                    + ", ".join(f"{v:.3f}" for v in f.log_complements) + "]"
-                )
-                lines.append(
-                    f"           sum(ln(1-P))={f.log_complement_sum:.3f}"
-                )
-        lines.append(f"           -> final={f.fused_probability:.3f}")
+                lines += self._vector_block(name, sig, verbose)
+        lines += self._fusion_block(trace.fusion, verbose)
         return "\n".join(lines)
 
     def format_summary(self, trace: DocumentTrace) -> str:
+        tags = {BM25SignalTrace: ("BM25", "posterior"),
+                VectorSignalTrace: ("Vec", "probability")}
         parts = []
-        for _name, sig in trace.signals.items():
-            if isinstance(sig, BM25SignalTrace):
-                parts.append(f"BM25={sig.posterior:.3f}")
-            elif isinstance(sig, VectorSignalTrace):
-                parts.append(f"Vec={sig.probability:.3f}")
+        for sig in trace.signals.values():
+            tag = tags.get(type(sig))
+            if tag is not None:
+                parts.append(f"{tag[0]}={getattr(sig, tag[1]):.3f}")
         f = trace.fusion
-        alpha_str = f", alpha={f.alpha}" if f.alpha is not None else ""
-        label = trace.doc_id if trace.doc_id is not None else "unknown"
-        return (
-            f"{label}: {' '.join(parts)}"
-            f" -> Fused={f.fused_probability:.3f} ({f.method}{alpha_str})"
-        )
+        method = f.method if f.alpha is None else f"{f.method}, alpha={f.alpha}"
+        label = "unknown" if trace.doc_id is None else trace.doc_id
+        return (f"{label}: {' '.join(parts)}"
+                f" -> Fused={f.fused_probability:.3f} ({method})")
 
     def format_comparison(self, comparison: ComparisonResult) -> str:
         a, b = comparison.doc_a, comparison.doc_b
-        a_label = a.doc_id if a.doc_id is not None else "doc_a"
-        b_label = b.doc_id if b.doc_id is not None else "doc_b"
+        la = "doc_a" if a.doc_id is None else a.doc_id
+        lb = "doc_b" if b.doc_id is None else b.doc_id
+
+        def row(name, pa, pb, delta, note=""):
+            return (f"  {name:<12} {pa:>8.3f}  {pb:>8.3f}"
+                    f"  {delta:>+8.3f}{note}")
+
         lines = [
-            f"Comparison: {a_label} vs {b_label}",
-            f"  {'Signal':<12} {str(a_label):>8}  {str(b_label):>8}"
+            f"Comparison: {la} vs {lb}",
+            f"  {'Signal':<12} {str(la):>8}  {str(lb):>8}"
             f"  {'delta':>8}   dominant",
         ]
         for name, delta in comparison.signal_deltas.items():
-            pa = self._signal_probability(a, name)
-            pb = self._signal_probability(b, name)
-            marker = "   <-- largest" if name == comparison.dominant_signal else ""
-            lines.append(
-                f"  {name:<12} {pa:>8.3f}  {pb:>8.3f}  {delta:>+8.3f}{marker}"
-            )
+            lines.append(row(
+                name,
+                self._signal_probability(a, name),
+                self._signal_probability(b, name),
+                delta,
+                "   <-- largest" if name == comparison.dominant_signal else "",
+            ))
         fused_delta = a.final_probability - b.final_probability
-        lines.append(
-            f"  {'Fused':<12} {a.final_probability:>8.3f}"
-            f"  {b.final_probability:>8.3f}  {fused_delta:>+8.3f}"
-        )
+        lines.append(row("Fused", a.final_probability, b.final_probability,
+                         fused_delta))
         lines.append("")
-        if fused_delta > 0:
-            lines.append(f"  Rank order: {a_label} > {b_label} (by {fused_delta:+.3f})")
-        elif fused_delta < 0:
-            lines.append(
-                f"  Rank order: {b_label} > {a_label} (by +{abs(fused_delta):.3f})"
-            )
-        else:
+        if fused_delta == 0:
             lines.append("  Rank order: tied")
+        else:
+            hi, lo = (la, lb) if fused_delta > 0 else (lb, la)
+            lines.append(
+                f"  Rank order: {hi} > {lo} (by +{abs(fused_delta):.3f})")
         dom = comparison.dominant_signal
         dom_delta = comparison.signal_deltas[dom]
-        favored = a_label if dom_delta >= 0 else b_label
+        favored = la if dom_delta >= 0 else lb
         lines.append(
-            f"  Dominant signal: {dom} ({dom_delta:+.3f} in {favored}'s favor)"
-        )
-        if comparison.crossover_stage is not None:
-            cross = comparison.crossover_stage
-            cf = a_label if comparison.signal_deltas[cross] >= 0 else b_label
+            f"  Dominant signal: {dom} ({dom_delta:+.3f} in {favored}'s favor)")
+        cross = comparison.crossover_stage
+        if cross is not None:
+            cf = la if comparison.signal_deltas[cross] >= 0 else lb
             lines.append(
-                f"  Note: {cross} favored {cf}, but {dom} signal outweighed it"
-            )
+                f"  Note: {cross} favored {cf}, but {dom} signal outweighed it")
         return "\n".join(lines)
