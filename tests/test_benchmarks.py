@@ -151,3 +151,86 @@ class TestHybridHarnessEndToEnd:
         # hybrid should not be catastrophically below BM25 on this data
         assert results["Bayesian-Balanced"]["ndcg@5"] >= \
             results["BM25"]["ndcg@5"] * 0.5
+
+
+class TestTrecEvalGoldenFixtures:
+    """Frozen (run, qrels) -> metric fixtures pinning the trec_eval
+    measure definitions the reference evaluates with (pytrec_eval
+    ndcg_cut/map_cut/recall, reference benchmarks/hybrid_beir.py:
+    1142-1165). Every value below is hand-derived from the published
+    measure formulas; they catch divisor/tie-break/topic-accounting
+    drift before real BEIR data ever arrives."""
+
+    def test_graded_single_query(self):
+        # DCG@3 of [0, 2, 0] = 2/log2(3); IDCG@3 of judged gains
+        # [2,1,1,0] = 2 + 1/log2(3) + 1/2.
+        qrels = {"q1": {"d1": 2, "d2": 1, "d3": 0, "d4": 1}}
+        run = {"q1": ["d3", "d1", "d5", "d2"]}
+        m = evaluate_run(run, qrels, k=3)
+        assert abs(m["ndcg@3"] - 0.4030302838010049) < 1e-9
+        # AP: single hit at rank 2 -> 0.5; denominator R=3 (map_cut).
+        assert abs(m["map@3"] - 0.16666666666666666) < 1e-9
+        assert abs(m["p@3"] - 1 / 3) < 1e-9
+        assert abs(m["recall@3"] - 1 / 3) < 1e-9
+
+    def test_score_ties_break_by_docid_descending(self):
+        # trec_eval sorts ties reverse-lexicographically: a and b tie at
+        # 1.0 -> b ranks first. Ranking [c, b, a], rels@2 = [0, 2].
+        qrels = {"q1": {"a": 1, "b": 2, "c": 0}}
+        run = {"q1": {"a": 1.0, "b": 1.0, "c": 2.0}}
+        m = evaluate_run(run, qrels, k=2)
+        assert abs(m["ndcg@2"] - 0.4796249331362629) < 1e-9
+        assert abs(m["map@2"] - 0.25) < 1e-9
+        assert abs(m["p@2"] - 0.5) < 1e-9
+        assert abs(m["recall@2"] - 0.5) < 1e-9
+
+    def test_map_cut_divides_by_total_relevant(self):
+        # R=5 relevant, both top-2 hits -> AP = (1 + 1)/5 = 0.4.
+        # The min(R, k) denominator (a DIFFERENT measure) would say 1.0.
+        qrels = {"q1": {f"d{i}": 1 for i in range(5)}}
+        run = {"q1": ["d0", "d1"]}
+        m = evaluate_run(run, qrels, k=2)
+        assert abs(m["map@2"] - 0.4) < 1e-9
+        assert abs(m["recall@2"] - 0.4) < 1e-9
+        assert abs(m["ndcg@2"] - 1.0) < 1e-9
+
+    def test_topic_accounting(self):
+        # q2 has no judged-relevant doc -> excluded from averages (trec
+        # qrels accounting); q3 missing from the run -> excluded; the
+        # mean is over q1 alone.
+        qrels = {
+            "q1": {"d1": 1},
+            "q2": {"d1": 0, "d2": 0},
+            "q3": {"d1": 1},
+        }
+        run = {"q1": ["d1"], "q2": ["d1", "d2"]}
+        m = evaluate_run(run, qrels, k=1)
+        assert m["n_queries"] == 1
+        assert abs(m["ndcg@1"] - 1.0) < 1e-9
+        assert abs(m["map@1"] - 1.0) < 1e-9
+
+    def test_negative_grades_are_judged_nonrelevant(self):
+        # Grade -1 contributes zero gain and is not relevant, but stays
+        # judged (affects nothing else); R counts only grades > 0.
+        qrels = {"q1": {"d1": -1, "d2": 1}}
+        run = {"q1": ["d1", "d2"]}
+        m = evaluate_run(run, qrels, k=2)
+        # DCG = 1/log2(3); IDCG = 1.
+        assert abs(m["ndcg@2"] - 0.6309297535714574) < 1e-9
+        assert abs(m["map@2"] - 0.5) < 1e-9
+        assert abs(m["recall@2"] - 1.0) < 1e-9
+
+    def test_multi_query_mean(self):
+        qrels = {"q1": {"d1": 1}, "q2": {"d1": 1, "d2": 1}}
+        run = {"q1": ["d1"], "q2": ["dX", "d2"]}
+        m = evaluate_run(run, qrels, k=2)
+        # q1: ndcg 1, ap 1; q2: dcg 1/log2(3), idcg 1 + 1/log2(3),
+        # ap = (1/2)/2.
+        q2_ndcg = 0.6309297535714574 / 1.6309297535714573
+        assert abs(m["ndcg@2"] - (1.0 + q2_ndcg) / 2) < 1e-9
+        assert abs(m["map@2"] - (1.0 + 0.25) / 2) < 1e-9
+        assert m["n_queries"] == 2
+
+    def test_trec_sort_exposed(self):
+        from benchmarks.metrics import trec_sort
+        assert trec_sort({"a": 1.0, "b": 1.0, "c": 0.5}) == ["b", "a", "c"]
