@@ -142,6 +142,61 @@ def thresholded_topk(probs, threshold: float, k: int):
             n_passing)
 
 
+@jax.jit
+def count_above(scores, s_min):
+    """Per-query count of positive scores >= s_min (candidate sizing for
+    the pruned thresholded path; one memory-bound pass)."""
+    return jnp.sum((scores > 0) & (scores >= s_min), axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "C", "prior_free"))
+def thresholded_topk_pruned(
+    scores, tfs, doc_lengths, avgdl, threshold: float, s_min,
+    k: int, C: int, alpha, beta, base_rate=None, *, prior_free: bool = False,
+):
+    """WAND-pruned thresholded retrieval: exact probabilities computed for
+    candidates only (output-identical to the dense path, which transforms
+    all (nq, D) scores).
+
+    The certified bound (ops/transform.py:wand_score_threshold, inverse of
+    probability.py:205-236's WAND upper bound) guarantees every doc with
+    P >= threshold scores >= s_min, so the candidate set — the top C
+    positive scores at/above s_min — contains the entire passing set
+    whenever C covers the per-query count (the caller sizes C from
+    ``count_above``). Candidates are then re-sorted by doc id so
+    probability ties break to the lowest id exactly as the dense
+    ``thresholded_topk``'s top_k over the document axis does.
+
+    ``scores`` must already be doc-masked (-inf) and sliced to n_docs.
+    """
+    from bayesian_bm25_tpu.ops import transform as T
+
+    n_docs = scores.shape[1]
+    screen = jnp.where((scores > 0) & (scores >= s_min), scores, -jnp.inf)
+    cand_s, cand_ids = jax.lax.top_k(screen, C)
+    # Id-ascending stable sort (invalid slots -> sentinel n_docs).
+    sort_key = jnp.where(jnp.isfinite(cand_s), cand_ids, n_docs)
+    sid, ss = jax.lax.sort((sort_key, cand_s), dimension=1, num_keys=1,
+                           is_stable=True)
+    valid = jnp.isfinite(ss)
+    gi = jnp.minimum(sid, n_docs - 1)
+    safe_s = jnp.where(valid, ss, 0.0)
+    cand_tf = jnp.take_along_axis(tfs, gi, axis=1)
+    cand_dlr = doc_lengths[gi] / avgdl
+    probs = T.score_to_probability(
+        safe_s, cand_tf, cand_dlr, alpha, beta, base_rate,
+        prior_free=prior_free,
+    )
+    probs = jnp.where(valid & (safe_s > 0), probs.astype(scores.dtype), 0.0)
+    passing = (probs >= threshold) & (probs > 0.0)
+    n_passing = jnp.sum(passing, axis=1).astype(jnp.int32)
+    masked = jnp.where(passing, probs, -1.0)
+    top_p, pos = jax.lax.top_k(masked, k)
+    keep = top_p >= threshold
+    out_ids = jnp.where(keep, jnp.take_along_axis(sid, pos, axis=1), -1)
+    return out_ids, jnp.where(keep, top_p, 0.0), n_passing
+
+
 @partial(jax.jit, static_argnames=("k", "n_docs", "prior_free", "use_pallas"))
 def retrieve_topk(
     term_ids, weights, doc_lengths, avgdl, qids, qcnt, k: int,

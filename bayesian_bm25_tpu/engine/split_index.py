@@ -47,12 +47,18 @@ class SplitBM25Index:
     n_frequent: int
     # host: term id -> frequent slot (or n_frequent if rare)
     freq_slot_of_term: np.ndarray = field(repr=False)
-    # device: (D_pad, K) impact + presence matrices for frequent terms
+    # device: (D_pad, K) impact + presence matrices for frequent terms.
+    # Under "hilo" storage dense_impact holds the bf16 high halves and
+    # dense_impact_lo the bf16 residuals (impact ~= hi + lo to ~8e-6
+    # relative); scoring is then two exact-operand bf16 matmul passes.
     dense_impact: jnp.ndarray = field(repr=False)
     dense_presence: jnp.ndarray = field(repr=False)
     # device: narrow doc-major table for rare terms (first T_A per doc)
     tail_term_ids: jnp.ndarray = field(repr=False)
     tail_weights: jnp.ndarray = field(repr=False)
+    # device: bf16 residuals of the impact matrix under "hilo" storage
+    # (None for f32/bf16 storage)
+    dense_impact_lo: jnp.ndarray | None = field(repr=False, default=None)
     # device: overflow rows for the few docs with more rare terms:
     # (n_over, T_B) tables + their global doc ids
     over_term_ids: jnp.ndarray = field(repr=False, default=None)
@@ -81,10 +87,25 @@ def build_split_index(
     n_frequent: int = 1024,
     *,
     dtype=jnp.float32,
+    storage: str | None = None,
     tail_pad_multiple: int = 8,
     enable_overflow: bool | str = "auto",
 ) -> SplitBM25Index:
     """Split the doc-major table by document frequency rank.
+
+    ``storage`` selects the impact-matrix representation:
+      * "f32"  — float32 matrix; MXU pass count set by the matmul
+        precision at score time (1/3/6 for default/high/highest).
+      * "hilo" — bf16 (hi, lo) pair with lo = bf16(impact - f32(hi)).
+        Scoring is TWO exact-operand bf16 passes: query count vectors
+        are small integers (exact in bf16), so the only error is the
+        ~8e-6-relative hi+lo representation — better than f32 HIGH's
+        3-pass error at 2/3 the MXU work (v5e: 24 ms vs 34 ms for the
+        8192x2048 @ 2048x51200 scoring matmul).
+      * "bf16" — single bf16 matrix, one pass, ~4e-3 relative; halves
+        HBM so K stays large on huge corpora.
+    ``None`` infers from ``dtype`` (float32 -> "f32", bfloat16 ->
+    "bf16") for backward compatibility.
 
     ``enable_overflow="auto"`` spills outlier docs' rare terms into a
     second table only when it actually wins: the scatter-add of overflow
@@ -92,6 +113,10 @@ def build_split_index(
     single table (measured on v5e), so the spill engages only when the p90
     width is at least 2x narrower than the max AND outliers are <= D/256.
     """
+    if storage is None:
+        storage = "bf16" if dtype == jnp.bfloat16 else "f32"
+    if storage not in ("f32", "hilo", "bf16"):
+        raise ValueError(f"storage must be f32/hilo/bf16, got {storage!r}")
     # Host mirrors avoid a device->host pull of the full table
     tids = (base.term_ids_host if base.term_ids_host is not None
             else np.asarray(base.term_ids))
@@ -174,11 +199,24 @@ def build_split_index(
         freq_slot, K, V, D_pad, row_idx, flat_tids, flat_w
     )
 
+    if storage == "hilo":
+        # Round to bf16, pull the rounded value back to f32 to form the
+        # residual exactly, round the residual to bf16.
+        hi_j = jnp.asarray(impact, dtype=jnp.bfloat16)
+        impact_primary = hi_j
+        impact_lo = jnp.asarray(
+            impact - np.asarray(hi_j, dtype=np.float32), dtype=jnp.bfloat16)
+    else:
+        impact_primary = jnp.asarray(
+            impact, dtype=jnp.bfloat16 if storage == "bf16" else jnp.float32)
+        impact_lo = None
+
     return SplitBM25Index(
         base=base,
         n_frequent=K,
         freq_slot_of_term=freq_slot,
-        dense_impact=jnp.asarray(impact, dtype=dtype),
+        dense_impact=impact_primary,
+        dense_impact_lo=impact_lo,
         # Presence entries are 0/1 — exact in bf16; halves the matrix's
         # HBM footprint and gather/matmul traffic (accumulation stays f32).
         dense_presence=jnp.asarray(presence, dtype=jnp.bfloat16),
@@ -351,6 +389,27 @@ def _densify_queries(fslots, fcnt, K: int):
     return qvec[:, :K], qpres[:, :K]
 
 
+def _impact_matmul(qvec, impact, impact_lo, precision):
+    """The frequent-term scoring matmul under any storage mode.
+
+    hilo storage (impact_lo is not None): two 1-pass matmuls on the bf16
+    hi/lo matrices with the query counts cast to bf16 — exact, because
+    counts are small integers — accumulated in f32. f32/bf16 storage:
+    one dot at the requested precision (f32 inputs expand to 1/3/6 MXU
+    passes for DEFAULT/HIGH/HIGHEST; bf16 inputs are always one pass).
+    """
+    if impact_lo is not None and impact_lo.shape[1] > 0:
+        # (a zero-width impact_lo is the sharded layer's "no residual"
+        # sentinel — fall through to the single-matrix path)
+        qb = qvec.astype(impact.dtype)
+        return (jnp.dot(qb, impact.T, preferred_element_type=jnp.float32)
+                + jnp.dot(qb, impact_lo.T,
+                          preferred_element_type=jnp.float32))
+    dt = impact.dtype
+    return jnp.dot(qvec.astype(dt), impact.T, precision=precision,
+                   preferred_element_type=jnp.float32)
+
+
 def _compare_table(table_ids, table_w, tail_qids, tail_qcnt):
     """Compare a (rows, T) table against the tail query group ->
     (nt, rows) partial scores + tf counts."""
@@ -377,20 +436,19 @@ def _compare_table(table_ids, table_w, tail_qids, tail_qcnt):
 def _split_score_kernel(dense_impact, dense_presence, tail_ids, tail_w,
                         fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
                         overflow=None,
-                        precision=jax.lax.Precision.HIGHEST):
+                        precision=jax.lax.Precision.HIGHEST,
+                        impact_lo=None):
     """scores = scatter(fslots) @ impact.T, plus the tail compare for the
     (small) subset of queries with rare terms, scattered back by row.
     ``overflow`` = (ids, weights, doc_ids) for the few docs whose rare
     terms exceed the primary tail width."""
     qvec, qpres = _densify_queries(fslots, fcnt, dense_impact.shape[1])
-    dt = dense_impact.dtype
     # Default HIGHEST: TPU f32 matmuls otherwise run single-pass bf16,
     # which perturbs scores ~4e-4 relative vs the compare path. The knob
     # (scorer matmul_precision) trades exactness for MXU passes:
-    # highest = 6, high = 3 (~1e-5 rel), default = 1 (~4e-4 rel).
-    scores = jnp.dot(qvec.astype(dt), dense_impact.T,
-                     precision=precision,
-                     preferred_element_type=jnp.float32)
+    # highest = 6, high = 3 (~1e-5 rel), default = 1 (~4e-4 rel);
+    # hilo storage (impact_lo set) is 2 passes at ~8e-6.
+    scores = _impact_matmul(qvec, dense_impact, impact_lo, precision)
     # The presence matmul is EXACT in one bf16 pass: 0/1 operands are
     # representable, products are 0/1, and the MXU accumulates in f32
     # (tf counts are far below 2^24). Never burn multi-pass here.
@@ -428,6 +486,7 @@ def score_all_split(split: SplitBM25Index, fslots, fcnt, tail_rows,
         jnp.asarray(fslots), jnp.asarray(fcnt), jnp.asarray(tail_rows),
         jnp.asarray(tail_qids), jnp.asarray(tail_qcnt),
         overflow=_overflow_of(split), precision=precision,
+        impact_lo=split.dense_impact_lo,
     )
 
 
@@ -436,7 +495,7 @@ def probabilities_all_split(
     dense_impact, dense_presence, tail_ids, tail_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
-    overflow=None, precision=jax.lax.Precision.HIGHEST,
+    overflow=None, precision=jax.lax.Precision.HIGHEST, impact_lo=None,
 ):
     """Dense calibrated probabilities (nq, n_docs) via the split path."""
     from bayesian_bm25_tpu.ops import transform as T
@@ -444,7 +503,7 @@ def probabilities_all_split(
     scores, tfs = _split_score_kernel(
         dense_impact, dense_presence, tail_ids, tail_w,
         fslots, fcnt, tail_rows, tail_qids, tail_qcnt, overflow=overflow,
-        precision=precision,
+        precision=precision, impact_lo=impact_lo,
     )
     scores = scores[:, :n_docs]
     tfs = tfs[:, :n_docs]
@@ -463,7 +522,7 @@ def retrieve_topk_split(
     fslots, fcnt, tail_rows, tail_qids, tail_qcnt, k: int,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
     approx: bool = False, overflow=None,
-    precision=jax.lax.Precision.HIGHEST, doc_mask=None,
+    precision=jax.lax.Precision.HIGHEST, doc_mask=None, impact_lo=None,
 ):
     """Fused split scoring -> top-k -> Bayesian transform (hot path).
 
@@ -477,7 +536,7 @@ def retrieve_topk_split(
     scores, tfs = _split_score_kernel(
         dense_impact, dense_presence, tail_ids, tail_w,
         fslots, fcnt, tail_rows, tail_qids, tail_qcnt, overflow=overflow,
-        precision=precision,
+        precision=precision, impact_lo=impact_lo,
     )
     scores = scores[:, :n_docs]
     tfs = tfs[:, :n_docs]
@@ -500,6 +559,46 @@ def retrieve_topk_split(
     return top_ids, probs, top_scores, top_tfs
 
 
+@partial(jax.jit, static_argnames=("k", "block"))
+def exact_topk_blockwise(scores, k: int, block: int = 128):
+    """Exact top-k over the document axis, tie-order-identical to
+    ``lax.top_k``, at a fraction of its cost for large D.
+
+    lax.top_k's cost grows with both D and k (32 ms for (8192, 50k) at
+    k=10 on v5e); this computes per-block maxima (one memory pass),
+    selects the top-k BLOCKS, and runs the full top-k only on those
+    blocks' k*block values.
+
+    Exactness: every top-k document lies in a top-k block. If doc d's
+    block b ranked below k by (max desc, id asc), then >= k blocks sort
+    above b, each containing a doc with value >= max_b >= v(d) (equal
+    maxes sort above b only for lower block ids, whose docs all have
+    lower ids) — so at least k docs either exceed v(d) or tie it with a
+    lower id, and the dense top_k would not have selected d either.
+    Tie parity: blocks are contiguous id ranges and the selected blocks
+    are re-sorted ascending, so candidates are id-ascending and the
+    final stable top_k breaks value ties to the lowest doc id, exactly
+    like the dense scan.
+    """
+    nq, D = scores.shape
+    G = -(-D // block)
+    if k >= G:  # few blocks: the prefilter would keep everything
+        return jax.lax.top_k(scores, k)
+    pad = G * block - D
+    padded = jnp.pad(scores, ((0, 0), (0, pad)),
+                     constant_values=-jnp.inf) if pad else scores
+    tiles = padded.reshape(nq, G, block)
+    bmax = tiles.max(axis=2)
+    _, bids = jax.lax.top_k(bmax, k)            # ties -> lower block id
+    bids = jnp.sort(bids, axis=1)               # id-ascending candidates
+    rows = jnp.arange(nq)[:, None]
+    cand = tiles[rows, bids].reshape(nq, k * block)
+    cand_ids = (bids[:, :, None] * block
+                + jnp.arange(block)[None, None, :]).reshape(nq, k * block)
+    v, p = jax.lax.top_k(cand, k)
+    return v, jnp.take_along_axis(cand_ids, p, axis=1)
+
+
 def candidate_cap(split: SplitBM25Index, tail_slots: np.ndarray, k: int) -> int:
     """Host-side candidate-set width: k leaders + the batch's max per-row
     postings total, power-of-2 bucketed (bounded compile count). Sentinel
@@ -518,7 +617,7 @@ def retrieve_topk_split_sparse(
     fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
     approx: bool = False, precision=jax.lax.Precision.HIGHEST,
-    doc_mask=None,
+    doc_mask=None, impact_lo=None,
 ):
     """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
 
@@ -549,10 +648,8 @@ def retrieve_topk_split_sparse(
 
     K = dense_impact.shape[1]
     qvec, qpres = _densify_queries(fslots, fcnt, K)
-    dt = dense_impact.dtype
-    scores = jnp.dot(qvec.astype(dt), dense_impact.T,
-                     precision=precision,
-                     preferred_element_type=jnp.float32)  # (nq, D_pad)
+    scores = _impact_matmul(qvec, dense_impact, impact_lo,
+                            precision)  # (nq, D_pad)
     if doc_mask is not None:
         # Masked docs drop to -inf BEFORE leader selection and before the
         # sbase gather, so they can neither lead nor win via postings;

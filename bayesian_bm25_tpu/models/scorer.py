@@ -116,6 +116,13 @@ class _ChainedTokens:
         return _ChainedTokens(self._parts + [list(other)])
 
 
+def _pow2_bucket_int(n: int, minimum: int) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 def _use_pallas() -> bool:
     # The fused XLA scoring path currently outperforms the hand kernel on
     # v5e (see engine/scoring.py:score_all); flip here when that changes.
@@ -197,13 +204,12 @@ class BayesianBM25Scorer:
     _SPLIT_BF16_MIN_DOCS = 1 << 18
 
     def _maybe_build_split(self) -> None:
-        import jax.numpy as _jnp
-
         from bayesian_bm25_tpu.engine import split_index as sidx
 
         idx = self._index
         D_pad = idx.term_ids.shape[0]
         use_bf16 = D_pad >= self._SPLIT_BF16_MIN_DOCS
+        storage = "bf16" if use_bf16 else self._split_storage()
         bytes_per_col = D_pad * ((2 + 2) if use_bf16 else (4 + 2))
         k_budget = self._SPLIT_BUDGET_BYTES // max(bytes_per_col, 1)
         # K=2048 is the measured sweet spot at 50k docs (sparse-candidate
@@ -215,10 +221,22 @@ class BayesianBM25Scorer:
                 ((max(idx.n_terms, 1) + 127) // 128) * 128)
         if K >= 128 and idx.n_terms > 256:
             self._split = sidx.build_split_index(
-                idx, n_frequent=int(K),
-                dtype=_jnp.bfloat16 if use_bf16 else _jnp.float32)
+                idx, n_frequent=int(K), storage=storage)
         else:
             self._split = None
+
+    def _split_storage(self) -> str:
+        """Impact-matrix storage for sub-bf16-threshold corpora, mapped
+        from the matmul_precision knob: "high" (the default) now means
+        hi/lo-bf16 pair storage — two exact-operand MXU passes at ~8e-6
+        relative error, faster AND tighter than the old f32 3-pass HIGH;
+        "highest"/"default" keep f32 storage with 6/1 passes (highest
+        stays bit-equal to the doc-major compare path)."""
+        import jax.lax as lax
+
+        if self._matmul_precision == lax.Precision.HIGH:
+            return "hilo"
+        return "f32"
 
     def _doc_pad_multiple(self) -> int:
         """Doc-axis padding multiple, used by BOTH the initial build and
@@ -599,7 +617,7 @@ class BayesianBM25Scorer:
                         t.alpha, t.beta, t.base_rate, n_docs=idx.n_docs,
                         prior_free=t._training_mode == "prior_free",
                         approx=approx, precision=self._matmul_precision,
-                        doc_mask=doc_mask,
+                        doc_mask=doc_mask, impact_lo=s.dense_impact_lo,
                     )
                 )
             else:
@@ -611,6 +629,7 @@ class BayesianBM25Scorer:
                     prior_free=t._training_mode == "prior_free",
                     approx=approx, overflow=sidx._overflow_of(s),
                     precision=self._matmul_precision, doc_mask=doc_mask,
+                    impact_lo=s.dense_impact_lo,
                 )
             top_ids = top_ids[:nq]
             probs = probs[:nq]
@@ -674,17 +693,58 @@ class BayesianBM25Scorer:
         """
         if self._transform is None:
             raise RuntimeError("Call index() before retrieve_thresholded().")
+        from bayesian_bm25_tpu.ops import transform as T
+
         nq = len(query_tokens)
-        dense = self._dense_probs_device(query_tokens)
+        idx = self._index
+        t = self._transform
+        k_eff = min(k, idx.n_docs)
+        prior_free = t._training_mode == "prior_free"
         if doc_mask is not None:
             doc_mask = np.asarray(doc_mask, dtype=bool)
-            if doc_mask.shape != (self._index.n_docs,):
+            if doc_mask.shape != (idx.n_docs,):
                 raise ValueError(
-                    f"doc_mask must have shape ({self._index.n_docs},), "
+                    f"doc_mask must have shape ({idx.n_docs},), "
                     f"got {doc_mask.shape}")
+
+        # WAND-pruned path: invert the certified probability bound to a
+        # score prefilter (prior <= 0.9 by composite_prior's clip; 0.5
+        # exactly in prior_free mode), transform only the survivors. The
+        # passing set, counts, ids, and probabilities are identical to
+        # the dense scan — pruning is output-invariant by the bound.
+        s_min = T.wand_score_threshold(
+            float(threshold), t.alpha, t.beta, t.base_rate,
+            p_max=0.5 if prior_free else 0.9)
+        if np.isfinite(s_min) or s_min > 0:
+            scores_d, tfs_d = self._dense_scores_tfs_device(query_tokens)
+            if doc_mask is not None:
+                scores_d = jnp.where(jnp.asarray(doc_mask)[None, :],
+                                     scores_d, -jnp.inf)
+            counts = np.asarray(scoring.count_above(scores_d, s_min))
+            c_max = int(counts.max()) if counts.size else 0
+            C = _pow2_bucket_int(max(c_max, k_eff), 16)
+            # lax.top_k cost grows with k, so candidate selection only
+            # beats the dense scan while C stays small (the
+            # high-threshold serving regime); measured crossover on v5e
+            # puts the dense path ahead well before C ~ thousands.
+            if C <= max(512, 4 * k_eff) and C <= idx.n_docs // 2:
+                ids, probs, n_passing = scoring.thresholded_topk_pruned(
+                    scores_d, tfs_d, idx.doc_lengths[: idx.n_docs],
+                    idx.avgdl, float(threshold), s_min, k_eff,
+                    min(C, idx.n_docs), t.alpha, t.beta, t.base_rate,
+                    prior_free=prior_free,
+                )
+                return (np.asarray(ids)[:nq],
+                        np.asarray(probs)[:nq].astype(np.float64),
+                        np.asarray(n_passing)[:nq].astype(int))
+
+        # Dense fallback: thresholds so low the prefilter keeps most of
+        # the corpus (or prunes nothing) — one full probability scan.
+        dense = self._dense_probs_device(query_tokens)
+        if doc_mask is not None:
             dense = dense * jnp.asarray(doc_mask)[None, :]
         ids, probs, n_passing = scoring.thresholded_topk(
-            dense, float(threshold), min(k, self._index.n_docs))
+            dense, float(threshold), k_eff)
         return (np.asarray(ids)[:nq], np.asarray(probs)[:nq].astype(np.float64),
                 np.asarray(n_passing)[:nq].astype(int))
 
@@ -716,6 +776,29 @@ class BayesianBM25Scorer:
         probs = self._dense_probs_device(query_tokens_batch)
         return np.asarray(probs[:nq]).astype(np.float64)
 
+    def _dense_scores_tfs_device(self, query_tokens_batch):
+        """Dense (scores, tfs) device arrays sliced to n_docs (the
+        score/tf halves of the probability pipeline, without the
+        transform — the pruned thresholded path applies the transform to
+        candidates only)."""
+        idx = self._index
+        if self._split is not None:
+            from bayesian_bm25_tpu.engine import split_index as sidx
+
+            s = self._split
+            nq = len(query_tokens_batch)
+            nq_pad = sidx._pow2_bucket(max(nq, 1), 1)
+            padded = list(query_tokens_batch) + [[]] * (nq_pad - nq)
+            enc = sidx.encode_queries_split(padded, s)
+            scores, tfs = sidx.score_all_split(
+                s, *enc, precision=self._matmul_precision)
+        else:
+            qids, qcnt = self._encode(query_tokens_batch)
+            scores, tfs = scoring.score_all(
+                idx.term_ids, idx.weights, qids, qcnt,
+                use_pallas=_use_pallas())
+        return scores[:, : idx.n_docs], tfs[:, : idx.n_docs]
+
     def _dense_probs_device(self, query_tokens_batch) -> "jnp.ndarray":
         """Dense probabilities as a device array (rows beyond nq are
         batch-bucketing pads on the split path)."""
@@ -738,6 +821,7 @@ class BayesianBM25Scorer:
                 prior_free=t._training_mode == "prior_free",
                 overflow=sidx._overflow_of(s),
                 precision=self._matmul_precision,
+                impact_lo=s.dense_impact_lo,
             )
         qids, qcnt = self._encode(query_tokens_batch)
         probs, _, _ = scoring.probabilities_all(

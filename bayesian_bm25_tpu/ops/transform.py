@@ -102,6 +102,45 @@ def wand_upper_bound(bm25_upper_bound, alpha, beta, base_rate=None, p_max=0.9):
     return posterior(l_max, p_max, base_rate=base_rate)
 
 
+def wand_score_threshold(threshold: float, alpha: float, beta: float,
+                         base_rate: float | None = None,
+                         p_max: float = 0.9) -> float:
+    """Inverse of ``wand_upper_bound``: the smallest BM25 score whose
+    certified probability upper bound reaches ``threshold`` (host-side
+    scalar math, float64).
+
+    Every pipeline stage is monotone increasing in the score — sigmoid
+    likelihood, the odds update at any prior <= p_max (composite_prior
+    clips at 0.9), and the base-rate odds shift — so a doc scoring below
+    the returned value cannot have calibrated probability >= threshold.
+    That turns a probability threshold into a score prefilter
+    (probability.py:205-236's bound, run backwards); survivors get exact
+    probabilities, so pruning is output-invariant. A small downward
+    margin absorbs f32-vs-f64 rounding between this inverse and the
+    device kernel (conservative: it can only admit extra candidates).
+    Returns -inf when the threshold prunes nothing (t <= 0, or a
+    non-positive alpha, where the bound is not invertible).
+    """
+    import numpy as np
+
+    t = float(threshold)
+    a = float(alpha)
+    if t <= 0.0 or a <= 0.0:
+        return float("-inf")
+    if t >= 1.0:
+        return float("inf")
+    odds = t / (1.0 - t)
+    if base_rate is not None:
+        br = min(max(float(base_rate), 1e-12), 1.0 - 1e-12)
+        odds *= (1.0 - br) / br
+    odds_l = odds * (1.0 - p_max) / p_max
+    l_min = odds_l / (1.0 + odds_l)
+    s_min = float(beta) + float(np.log(l_min) - np.log1p(-l_min)) / a
+    if not np.isfinite(s_min):
+        return float("-inf") if s_min < 0 else float("inf")
+    return s_min - 1e-4 * max(1.0, abs(s_min))
+
+
 # ---------------------------------------------------------------------------
 # Batch fitting (Algorithm 8.3.1): GD with tolerance early-exit as while_loop
 # ---------------------------------------------------------------------------

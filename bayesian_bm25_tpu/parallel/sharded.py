@@ -245,6 +245,16 @@ def shard_split_index_arrays(mesh: Mesh, split):
     )
 
 
+def _lo_operand(mesh: Mesh, dense_impact, impact_lo):
+    """The hi/lo residual as a shard_map operand: the real (D_pad, K)
+    bf16 matrix under hilo storage, or a zero-width (D_pad, 0) sentinel
+    (sharding metadata only — _impact_matmul branches on the static
+    width, so the sentinel is never touched)."""
+    if impact_lo is not None:
+        return impact_lo
+    return jnp.zeros((dense_impact.shape[0], 0), jnp.bfloat16)
+
+
 def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
                                 tail_ids, tail_w, doc_lengths, avgdl,
                                 fslots, fcnt, tail_rows, tail_qids,
@@ -254,7 +264,7 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
                                 prior_free: bool = False,
                                 return_tfs: bool = False,
                                 precision=jax.lax.Precision.HIGHEST,
-                                doc_mask=None):
+                                doc_mask=None, impact_lo=None):
     """Distributed top-k over the frequency-split index.
 
     The frequent-term matmul shards trivially over the doc axis (each shard
@@ -262,24 +272,22 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
     compare and top-k merge follow the same per-shard + all_gather pattern
     as sharded_retrieve_topk.
     """
-    from bayesian_bm25_tpu.engine.split_index import _densify_queries
+    from bayesian_bm25_tpu.engine.split_index import (
+        _densify_queries, _impact_matmul)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
-                  P("d"), P(None, None), P(None, None), P(None),
-                  P(None, None), P(None, None), P("d")),
+                  P("d", None), P("d"), P(None, None), P(None, None),
+                  P(None), P(None, None), P(None, None), P("d")),
         out_specs=(P(None, None), P(None, None), P(None, None),
                    P(None, None)),
         check_vma=False,
     )
-    def body(imp, pres, tids, tw, dl, fs, fc, trow, tqi, tqc, mask):
+    def body(imp, lo, pres, tids, tw, dl, fs, fc, trow, tqi, tqc, mask):
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
-        dt = imp.dtype
-        scores = jnp.dot(qvec.astype(dt), imp.T,
-                         precision=precision,
-                         preferred_element_type=jnp.float32)
+        scores = _impact_matmul(qvec, imp, lo, precision)
         # Presence/tf is exact in one bf16 pass (0/1 operands, f32
         # accumulation) — same as the single-chip kernel.
         tfs = jnp.dot(qpres.astype(pres.dtype), pres.T,
@@ -323,7 +331,8 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
         mask_pad = jnp.concatenate(
             [m[:D_pad], jnp.ones((max(D_pad - m.shape[0], 0),), bool)])
     mask_pad = jax.device_put(mask_pad, NamedSharding(mesh, P("d")))
-    out = body(dense_impact, dense_presence, tail_ids, tail_w, doc_lengths,
+    out = body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
+               dense_presence, tail_ids, tail_w, doc_lengths,
                jnp.asarray(fslots), jnp.asarray(fcnt),
                jnp.asarray(tail_rows), jnp.asarray(tail_qids),
                jnp.asarray(tail_qcnt), mask_pad)
@@ -339,7 +348,8 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
                                    alpha, beta, base_rate=None,
                                    n_docs: int | None = None,
                                    prior_free: bool = False,
-                                   precision=jax.lax.Precision.HIGHEST):
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   impact_lo=None):
     """Frequency-split top-k on a (query x document) 2-D mesh.
 
     The dp x tp analogue on the production kernel: the query batch shards
@@ -350,23 +360,21 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
     nothing, so every tail row lands exactly once across the 'q' axis.
     Candidates all_gather over 'd' only; outputs stay q-sharded.
     """
-    from bayesian_bm25_tpu.engine.split_index import _densify_queries
+    from bayesian_bm25_tpu.engine.split_index import (
+        _densify_queries, _impact_matmul)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
-                  P("d"), P("q", None), P("q", None), P(None),
+                  P("d", None), P("d"), P("q", None), P("q", None), P(None),
                   P(None, None), P(None, None)),
         out_specs=(P("q", None), P("q", None), P("q", None), P("q", None)),
         check_vma=False,
     )
-    def body(imp, pres, tids, tw, dl, fs, fc, trow, tqi, tqc):
+    def body(imp, lo, pres, tids, tw, dl, fs, fc, trow, tqi, tqc):
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
-        dt = imp.dtype
-        scores = jnp.dot(qvec.astype(dt), imp.T,
-                         precision=precision,
-                         preferred_element_type=jnp.float32)
+        scores = _impact_matmul(qvec, imp, lo, precision)
         tfs = jnp.dot(qpres.astype(pres.dtype), pres.T,
                       preferred_element_type=jnp.float32)
         t_scores, t_tfs = _local_score(tids, tw, tqi, tqc)
@@ -407,7 +415,8 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
         probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
         return ids, probs, merge_s, tfs_m
 
-    out = body(dense_impact, dense_presence, tail_ids, tail_w, doc_lengths,
+    out = body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
+               dense_presence, tail_ids, tail_w, doc_lengths,
                jnp.asarray(fslots), jnp.asarray(fcnt),
                jnp.asarray(tail_rows), jnp.asarray(tail_qids),
                jnp.asarray(tail_qcnt))
@@ -458,27 +467,26 @@ def sharded_probabilities_all(mesh: Mesh, term_ids, weights, doc_lengths,
 def sharded_scores_all_split(mesh: Mesh, dense_impact, dense_presence,
                              tail_ids, tail_w, fslots, fcnt, tail_rows,
                              tail_qids, tail_qcnt,
-                             precision=jax.lax.Precision.HIGHEST):
+                             precision=jax.lax.Precision.HIGHEST,
+                             impact_lo=None):
     """Dense (nq, D) scores + tf via the frequency-split kernel, sharded
     over the document axis (axis 1 of the outputs). Bit-identical per
     element to the single-chip split kernel: each shard's matmul computes
     the same row dot products, and the tail compare adds locally."""
-    from bayesian_bm25_tpu.engine.split_index import _densify_queries
+    from bayesian_bm25_tpu.engine.split_index import (
+        _densify_queries, _impact_matmul)
 
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
-                  P(None, None), P(None, None), P(None),
+                  P("d", None), P(None, None), P(None, None), P(None),
                   P(None, None), P(None, None)),
         out_specs=(P(None, "d"), P(None, "d")),
         check_vma=False,
     )
-    def body(imp, pres, tids, tw, fs, fc, trow, tqi, tqc):
+    def body(imp, lo, pres, tids, tw, fs, fc, trow, tqi, tqc):
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
-        dt = imp.dtype
-        scores = jnp.dot(qvec.astype(dt), imp.T,
-                         precision=precision,
-                         preferred_element_type=jnp.float32)
+        scores = _impact_matmul(qvec, imp, lo, precision)
         tfs = jnp.dot(qpres.astype(pres.dtype), pres.T,
                       preferred_element_type=jnp.float32)
         t_scores, t_tfs = _local_score(tids, tw, tqi, tqc)
@@ -486,7 +494,8 @@ def sharded_scores_all_split(mesh: Mesh, dense_impact, dense_presence,
         tfs = tfs.at[trow].add(t_tfs)
         return scores, tfs
 
-    return body(dense_impact, dense_presence, tail_ids, tail_w,
+    return body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
+                dense_presence, tail_ids, tail_w,
                 jnp.asarray(fslots), jnp.asarray(fcnt),
                 jnp.asarray(tail_rows), jnp.asarray(tail_qids),
                 jnp.asarray(tail_qcnt))
@@ -620,7 +629,8 @@ def sharded_train_step_split(mesh: Mesh, dense_impact, dense_presence,
                              tail_ids, tail_w, fslots, fcnt, tail_rows,
                              tail_qids, tail_qcnt, labels, alpha, beta,
                              learning_rate: float = 0.01,
-                             precision=jax.lax.Precision.HIGHEST):
+                             precision=jax.lax.Precision.HIGHEST,
+                             impact_lo=None):
     """sharded_train_step on the frequency-split scoring path.
 
     Same psum'd-BCE GD step, but the per-shard scores come from the
@@ -629,21 +639,19 @@ def sharded_train_step_split(mesh: Mesh, dense_impact, dense_presence,
     the kernels that serve. ``labels`` is (nq, D_pad) sharded over 'd'
     along axis 1, matching the score layout.
     """
-    from bayesian_bm25_tpu.engine.split_index import _densify_queries
+    from bayesian_bm25_tpu.engine.split_index import (
+        _densify_queries, _impact_matmul)
 
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
-                  P(None, None), P(None, None), P(None),
+                  P("d", None), P(None, None), P(None, None), P(None),
                   P(None, None), P(None, None), P(None, "d")),
         out_specs=(P(), P(), P()),
     )
-    def body(imp, pres, tids, tw, fs, fc, trow, tqi, tqc, y):
+    def body(imp, lo, pres, tids, tw, fs, fc, trow, tqi, tqc, y):
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
-        dt = imp.dtype
-        scores = jnp.dot(qvec.astype(dt), imp.T,
-                         precision=precision,
-                         preferred_element_type=jnp.float32)
+        scores = _impact_matmul(qvec, imp, lo, precision)
         t_scores, _ = _local_score(tids, tw, tqi, tqc)
         scores = scores.at[trow].add(t_scores)
 
@@ -659,7 +667,8 @@ def sharded_train_step_split(mesh: Mesh, dense_impact, dense_presence,
         g_a, g_b = grads
         return alpha - learning_rate * g_a, beta - learning_rate * g_b, loss
 
-    return body(dense_impact, dense_presence, tail_ids, tail_w,
+    return body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
+                dense_presence, tail_ids, tail_w,
                 jnp.asarray(fslots), jnp.asarray(fcnt),
                 jnp.asarray(tail_rows), jnp.asarray(tail_qids),
                 jnp.asarray(tail_qcnt), labels)

@@ -83,10 +83,6 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
         idx.doc_lengths = jax.device_put(idx.doc_lengths, vs)
         s = self._split
         if s is not None:
-            s.dense_impact = jax.device_put(s.dense_impact, ds)
-            s.dense_presence = jax.device_put(s.dense_presence, ds)
-            s.tail_term_ids = jax.device_put(s.tail_term_ids, ds)
-            s.tail_weights = jax.device_put(s.tail_weights, ds)
             # The sparse-candidate path is single-chip-only; the sharded
             # retrieve uses the (sharded) tail compare tables instead.
             # Overflow tables index docs globally — fold them away by
@@ -94,12 +90,18 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
             if s.over_term_ids is not None:
                 from bayesian_bm25_tpu.engine import split_index as sidx
 
+                storage = ("hilo" if s.dense_impact_lo is not None else
+                           "bf16" if s.dense_impact.dtype == jnp.bfloat16
+                           else "f32")
                 self._split = s = sidx.build_split_index(
-                    idx, n_frequent=s.n_frequent, enable_overflow=False)
-                s.dense_impact = jax.device_put(s.dense_impact, ds)
-                s.dense_presence = jax.device_put(s.dense_presence, ds)
-                s.tail_term_ids = jax.device_put(s.tail_term_ids, ds)
-                s.tail_weights = jax.device_put(s.tail_weights, ds)
+                    idx, n_frequent=s.n_frequent, enable_overflow=False,
+                    storage=storage)
+            s.dense_impact = jax.device_put(s.dense_impact, ds)
+            s.dense_presence = jax.device_put(s.dense_presence, ds)
+            s.tail_term_ids = jax.device_put(s.tail_term_ids, ds)
+            s.tail_weights = jax.device_put(s.tail_weights, ds)
+            if s.dense_impact_lo is not None:
+                s.dense_impact_lo = jax.device_put(s.dense_impact_lo, ds)
 
     def index_texts(self, texts, *, lowercase: bool = True,
                     remove_stopwords: bool = True, stem: bool = True) -> None:
@@ -148,7 +150,7 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                     idx.avgdl, *enc, k_eff, t.alpha, t.beta, t.base_rate,
                     n_docs=idx.n_docs, prior_free=prior_free,
                     return_tfs=True, precision=self._matmul_precision,
-                    doc_mask=doc_mask,
+                    doc_mask=doc_mask, impact_lo=s.dense_impact_lo,
                 )
             )
         else:
@@ -196,7 +198,8 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
             return sharded.sharded_scores_all_split(
                 self._mesh, s.dense_impact, s.dense_presence,
                 s.tail_term_ids, s.tail_weights, *enc,
-                precision=self._matmul_precision)
+                precision=self._matmul_precision,
+                impact_lo=s.dense_impact_lo)
         qids, qcnt = self._encode(query_tokens_batch)
         return sharded.sharded_scores_all(
             self._mesh, idx.term_ids, idx.weights,

@@ -98,13 +98,22 @@ class TestBf16Tolerance:
                  for _ in range(300)]
         s = BayesianBM25Scorer()
         s.index(small, show_progress=False)
-        assert s._split.dense_impact.dtype == jnp.float32
+        # default matmul_precision="high" -> hi/lo bf16 pair storage
+        assert s._split.dense_impact.dtype == jnp.bfloat16
+        assert s._split.dense_impact_lo is not None
+        assert s._split.dense_impact_lo.dtype == jnp.bfloat16
+        # "highest" keeps the f32 matrix (bit-equal to the compare path)
+        sh = BayesianBM25Scorer(matmul_precision="highest")
+        sh.index(small, show_progress=False)
+        assert sh._split.dense_impact.dtype == jnp.float32
+        assert sh._split.dense_impact_lo is None
         # threshold behavior is by padded doc count; patch the constant
         # down instead of building 262k docs
         s2 = BayesianBM25Scorer()
         s2._SPLIT_BF16_MIN_DOCS = 64
         s2.index(small, show_progress=False)
         assert s2._split.dense_impact.dtype == jnp.bfloat16
+        assert s2._split.dense_impact_lo is None
         assert s2._split.dense_presence.dtype == jnp.bfloat16
         i1, p1 = s.retrieve([small[0][:4]], k=5)
         i2, p2 = s2.retrieve([small[0][:4]], k=5)
@@ -131,5 +140,15 @@ class TestMatmulPrecisionKnob:
         ref = BayesianBM25Scorer(matmul_precision="highest")
         ref.index(corpus[:500], show_progress=False)
         ids_r, probs_r = ref.retrieve(queries[:8], k=5)
-        np.testing.assert_array_equal(ids, ids_r)
-        np.testing.assert_allclose(probs, probs_r, rtol=1e-4)
+        if prec == "highest":
+            np.testing.assert_array_equal(ids, ids_r)
+            np.testing.assert_allclose(probs, probs_r, rtol=1e-4)
+        else:
+            # "high" is hi/lo-bf16 storage (~8e-6 score perturbation,
+            # even on CPU) and "default" is 1-pass: ranks may swap
+            # between near-tied docs, but the probability profile must
+            # agree and any id difference must be a near-tie swap.
+            np.testing.assert_allclose(probs, probs_r, rtol=2e-3,
+                                       atol=1e-6)
+            # most positions still agree exactly; only near-ties may swap
+            assert (ids == ids_r).mean() > 0.8
