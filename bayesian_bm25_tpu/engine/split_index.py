@@ -276,6 +276,61 @@ def _build_rare_postings(freq_slot, K, V, D_pad, row_idx, flat_tids, flat_w):
     return rare_slot, post_ids, post_w, rare_df
 
 
+def build_sharded_postings(split: SplitBM25Index, n_shards: int):
+    """Doc-shard the rare postings for the distributed sparse-candidate
+    path: entries of the (R+1, P) term-major table fall naturally into
+    doc ranges, so shard s keeps its range's entries left-compacted with
+    SHARD-LOCAL doc ids (sentinel D_local).
+
+    Returns (post_ids (n_shards, R+1, P_max) int32,
+             post_w   (n_shards, R+1, P_max) f32,
+             rare_df  (n_shards, R+1) int64  — per-shard df for
+             candidate-cap sizing). Within each row the original
+    ascending-id order is preserved, so the per-shard merge sums in the
+    same order as the single-chip merge restricted to that range.
+    """
+    pid = np.asarray(split.post_doc_ids)
+    pw = np.asarray(split.post_weights)
+    D_pad = split.dense_impact.shape[0]
+    if D_pad % n_shards:
+        raise ValueError(
+            f"D_pad {D_pad} must divide the {n_shards}-shard mesh")
+    D_local = D_pad // n_shards
+    R1, _ = pid.shape
+    per_shard_sel = []
+    dfs = np.zeros((n_shards, R1), dtype=np.int64)
+    p_max = 1
+    for s in range(n_shards):
+        lo, hi = s * D_local, (s + 1) * D_local
+        sel = (pid >= lo) & (pid < hi)
+        cnt = sel.sum(axis=1)
+        dfs[s] = cnt
+        p_max = max(p_max, int(cnt.max()) if cnt.size else 0)
+        per_shard_sel.append((sel, lo))
+    P_max = _round_up(max(p_max, 1), 8)
+    out_ids = np.full((n_shards, R1, P_max), D_local, dtype=np.int32)
+    out_w = np.zeros((n_shards, R1, P_max), dtype=np.float32)
+    rows = np.arange(R1)
+    for s, (sel, lo) in enumerate(per_shard_sel):
+        col = np.cumsum(sel, axis=1) - 1
+        r_idx = np.broadcast_to(rows[:, None], sel.shape)[sel]
+        c_idx = col[sel]
+        out_ids[s, r_idx, c_idx] = pid[sel] - lo
+        out_w[s, r_idx, c_idx] = pw[sel]
+    return out_ids, out_w, dfs
+
+
+def sharded_candidate_cap(rare_df_sh: np.ndarray, tail_slots: np.ndarray,
+                          k: int, P_shard: int) -> int:
+    """Host-side candidate cap for the sharded sparse merge: the worst
+    per-shard, per-tail-row postings total (sentinel slots carry df 0),
+    power-of-2 bucketed like the single-chip cap."""
+    ts = np.asarray(tail_slots)
+    per_row = rare_df_sh[:, ts].sum(axis=2)  # (n_shards, nt, Qt) -> sum Qt
+    cap = k + _pow2_bucket(max(int(per_row.max()), 1), 16)
+    return min(cap, k + ts.shape[1] * P_shard)
+
+
 def map_tail_slots(tail_qids: np.ndarray, split: SplitBM25Index) -> np.ndarray:
     """Tail query TERM ids -> rare postings row indices (host-side).
 
@@ -609,65 +664,18 @@ def candidate_cap(split: SplitBM25Index, tail_slots: np.ndarray, k: int) -> int:
     return min(cap, k + Qt * P)
 
 
-@partial(jax.jit,
-         static_argnames=("k", "cand_cap", "n_docs", "prior_free", "approx",
-                          "precision"))
-def retrieve_topk_split_sparse(
-    dense_impact, dense_presence, post_ids, post_w, doc_lengths, avgdl,
-    fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
-    alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
-    approx: bool = False, precision=jax.lax.Precision.HIGHEST,
-    doc_mask=None, impact_lo=None,
-):
-    """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
-
-    The frequent-term matmul scores every doc; rare-term contributions are
-    merged per query from term-major postings instead of a doc-major
-    compare sweep. The candidate SET is exact — no approximation in which
-    docs can win — and tf counts are bit-equal (integer-valued f32 sums).
-    Scores agree with the dense path to the last ulp: the per-doc tail
-    accumulation visits query slots in the same ascending order as the
-    compare kernel's fori_loop, but the merge's shifted-add scheduling is
-    a different XLA program, so isolated 1-ulp rounding differences (and,
-    in principle, a flipped exact-tie ranking) are possible. Exactness of
-    the candidate set follows from non-negativity: with M = k matmul-side
-    leaders in the candidate set, any
-    non-candidate doc d has matmul score <= each leader's, hence full
-    score <= each leader's full score, and ties resolve to the leaders'
-    smaller ids — so the true top-k is always inside
-
-        candidates(q) = topk_matmul(q)  ∪  postings(rare terms of q).
-
-    This replaces both the (nq, D) tail compare AND the dense presence
-    matmul (tf is gathered only at the k winners), cutting the reference
-    regime's kernel time ~3x (v5e, 50k docs, 4096-query batches).
-    ``approx=True`` swaps the matmul-side top-k for lax.approx_max_k
-    (recall ~0.95 on the frequent part; the rare merge stays exact).
-    """
-    from bayesian_bm25_tpu.ops import transform as T
-
-    K = dense_impact.shape[1]
-    qvec, qpres = _densify_queries(fslots, fcnt, K)
-    scores = _impact_matmul(qvec, dense_impact, impact_lo,
-                            precision)  # (nq, D_pad)
-    if doc_mask is not None:
-        # Masked docs drop to -inf BEFORE leader selection and before the
-        # sbase gather, so they can neither lead nor win via postings;
-        # the exactness argument then holds over the unmasked set (pad
-        # rows keep score 0 — they never outrank a positive candidate).
-        mask_pad = jnp.concatenate(
-            [doc_mask[:n_docs],
-             jnp.ones((dense_impact.shape[0] - n_docs,), bool)])
-        scores = jnp.where(mask_pad[None, :], scores, -jnp.inf)
-    scores_nd = scores[:, :n_docs]
-    if approx:
-        topm_scores, topm_ids = jax.lax.approx_max_k(scores_nd, k)
-    else:
-        topm_scores, topm_ids = jax.lax.top_k(scores_nd, k)
-
-    nq = fslots.shape[0]
+def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
+                  tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
+                  n_docs: int):
+    """Rare-postings candidate merge shared by the single-chip and
+    per-shard sparse kernels: fold each tail query's rare-term postings
+    into the k matmul leaders and return the merged
+    (ids, scores, tail_tf) per query row. ``scores``/``post_ids`` use
+    LOCAL doc ids when called inside a shard (n_docs = local real-doc
+    count); the caller adds the shard offset afterwards."""
+    nq = topm_ids.shape[0]
     nt, Qt = tail_slots.shape
-    D_pad = dense_impact.shape[0]
+    D_pad = scores.shape[1]
     R = post_ids.shape[0] - 1
 
     # Postings of each tail query's rare terms: (nt, Qt, P).
@@ -751,6 +759,68 @@ def retrieve_topk_split_sparse(
     out_tail_tf = jnp.concatenate(
         [jnp.zeros((nq, k), jnp.float32), zrow_f]).at[trow_safe].set(
         m_tf_tail)[:nq]
+    return out_ids, out_scores, out_tail_tf
+
+
+@partial(jax.jit,
+         static_argnames=("k", "cand_cap", "n_docs", "prior_free", "approx",
+                          "precision"))
+def retrieve_topk_split_sparse(
+    dense_impact, dense_presence, post_ids, post_w, doc_lengths, avgdl,
+    fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
+    alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
+    approx: bool = False, precision=jax.lax.Precision.HIGHEST,
+    doc_mask=None, impact_lo=None,
+):
+    """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
+
+    The frequent-term matmul scores every doc; rare-term contributions are
+    merged per query from term-major postings instead of a doc-major
+    compare sweep. The candidate SET is exact — no approximation in which
+    docs can win — and tf counts are bit-equal (integer-valued f32 sums).
+    Scores agree with the dense path to the last ulp: the per-doc tail
+    accumulation visits query slots in the same ascending order as the
+    compare kernel's fori_loop, but the merge's shifted-add scheduling is
+    a different XLA program, so isolated 1-ulp rounding differences (and,
+    in principle, a flipped exact-tie ranking) are possible. Exactness of
+    the candidate set follows from non-negativity: with M = k matmul-side
+    leaders in the candidate set, any
+    non-candidate doc d has matmul score <= each leader's, hence full
+    score <= each leader's full score, and ties resolve to the leaders'
+    smaller ids — so the true top-k is always inside
+
+        candidates(q) = topk_matmul(q)  ∪  postings(rare terms of q).
+
+    This replaces both the (nq, D) tail compare AND the dense presence
+    matmul (tf is gathered only at the k winners), cutting the reference
+    regime's kernel time ~3x (v5e, 50k docs, 4096-query batches).
+    ``approx=True`` swaps the matmul-side top-k for lax.approx_max_k
+    (recall ~0.95 on the frequent part; the rare merge stays exact).
+    """
+    from bayesian_bm25_tpu.ops import transform as T
+
+    K = dense_impact.shape[1]
+    qvec, qpres = _densify_queries(fslots, fcnt, K)
+    scores = _impact_matmul(qvec, dense_impact, impact_lo,
+                            precision)  # (nq, D_pad)
+    if doc_mask is not None:
+        # Masked docs drop to -inf BEFORE leader selection and before the
+        # sbase gather, so they can neither lead nor win via postings;
+        # the exactness argument then holds over the unmasked set (pad
+        # rows keep score 0 — they never outrank a positive candidate).
+        mask_pad = jnp.concatenate(
+            [doc_mask[:n_docs],
+             jnp.ones((dense_impact.shape[0] - n_docs,), bool)])
+        scores = jnp.where(mask_pad[None, :], scores, -jnp.inf)
+    scores_nd = scores[:, :n_docs]
+    if approx:
+        topm_scores, topm_ids = jax.lax.approx_max_k(scores_nd, k)
+    else:
+        topm_scores, topm_ids = jax.lax.top_k(scores_nd, k)
+
+    out_ids, out_scores, out_tail_tf = _sparse_merge(
+        scores, topm_scores, topm_ids, post_ids, post_w,
+        tail_rows, tail_slots, tail_qcnt, k, cand_cap, n_docs)
 
     dead = ~jnp.isfinite(out_scores)
     out_scores = jnp.where(dead, 0.0, out_scores)

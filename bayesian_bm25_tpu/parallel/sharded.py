@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -29,8 +31,6 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
     Raises if fewer than ``n_devices`` devices exist — silently truncating
     would make an "8-way" dryrun test nothing on a 1-device backend.
     """
-    import numpy as np
-
     devices = jax.devices()
     if n_devices is not None:
         if len(devices) < n_devices:
@@ -45,8 +45,6 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
 def make_mesh_2d(n_query: int, n_doc: int) -> Mesh:
     """2-D mesh: query axis ('q', data-parallel over the batch) x document
     axis ('d', the corpus shard axis) — the retrieval analogue of dp x tp."""
-    import numpy as np
-
     devices = jax.devices()
     need = n_query * n_doc
     if len(devices) < need:
@@ -341,6 +339,109 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
     return out[:3]
 
 
+def sharded_retrieve_topk_split_sparse(
+        mesh: Mesh, dense_impact, dense_presence, post_ids_sh, post_w_sh,
+        doc_lengths, avgdl, fslots, fcnt, tail_rows, tail_slots, tail_qcnt,
+        k: int, cand_cap: int, alpha, beta, base_rate=None,
+        n_docs: int | None = None, prior_free: bool = False,
+        approx: bool = False, precision=jax.lax.Precision.HIGHEST,
+        doc_mask=None, impact_lo=None):
+    """Distributed sparse-candidate exact top-k (the fastest single-chip
+    kernel, doc-sharded): per shard, one MXU matmul + local leader
+    selection + rare-postings merge against the SHARD-LOCAL postings
+    (engine/split_index.py:build_sharded_postings — postings shard
+    naturally by doc range), then an all_gather of each shard's k
+    winners and a k-way merge.
+
+    Exact like the single-chip kernel: the global top-k is contained in
+    the union of per-shard top-k sets, per-shard merges visit entries in
+    the same ascending order as the single-chip merge restricted to the
+    shard's range, and shard-major candidate order preserves the
+    lowest-doc-id tie-break. ``approx=True`` swaps the per-shard
+    matmul-side leader selection for lax.approx_max_k (the rare merge
+    stays exact). Ref intent: scorer.py:525-529 retrieve parity.
+    """
+    from bayesian_bm25_tpu.engine.split_index import (
+        _densify_queries, _impact_matmul, _sparse_merge)
+
+    D_pad = dense_impact.shape[0]
+    n_real = n_docs if n_docs is not None else D_pad
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("d", None), P("d", None), P("d", None),
+                  P("d", None, None), P("d", None, None), P("d"),
+                  P(None, None), P(None, None), P(None), P(None, None),
+                  P(None, None), P("d")),
+        out_specs=(P(None, None), P(None, None), P(None, None),
+                   P(None, None)),
+        check_vma=False,
+    )
+    def body(imp, lo, pres, pid3, pw3, dl, fs, fc, trow, tsl, tqc, mask):
+        pid = pid3[0]
+        pw = pw3[0]
+        qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
+        scores = _impact_matmul(qvec, imp, lo, precision)
+        D_local = imp.shape[0]
+        off = jax.lax.axis_index("d") * D_local
+        # Global pad docs and doc_mask both arrive via the sharded mask;
+        # drop them before leader selection so they can neither lead nor
+        # win through postings (postings contain only real docs).
+        scores = jnp.where(mask[None, :], scores, -jnp.inf)
+        if approx:
+            topm_s, topm_i = jax.lax.approx_max_k(scores, k)
+        else:
+            topm_s, topm_i = jax.lax.top_k(scores, k)
+        out_ids, out_scores, out_tail_tf = _sparse_merge(
+            scores, topm_s, topm_i, pid, pw, trow, tsl, tqc, k,
+            cand_cap, D_local)
+
+        safe = jnp.maximum(out_ids, 0)
+        pres_rows = pres[safe]  # (nq, k, K)
+        tf_freq = jnp.einsum("nkc,nc->nk", pres_rows,
+                             qpres.astype(pres.dtype),
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+        local_tf = tf_freq + out_tail_tf
+        local_dl = dl[safe]
+        gids = out_ids + off
+
+        cand_s = jax.lax.all_gather(out_scores, "d", axis=1, tiled=True)
+        cand_id = jax.lax.all_gather(gids, "d", axis=1, tiled=True)
+        cand_tf = jax.lax.all_gather(local_tf, "d", axis=1, tiled=True)
+        cand_dl = jax.lax.all_gather(local_dl, "d", axis=1, tiled=True)
+        merge_s, merge_pos = jax.lax.top_k(cand_s, k)
+        ids = jnp.take_along_axis(cand_id, merge_pos, axis=1)
+        tfs_m = jnp.take_along_axis(cand_tf, merge_pos, axis=1)
+        dl_m = jnp.take_along_axis(cand_dl, merge_pos, axis=1)
+        dead = ~jnp.isfinite(merge_s) | (ids >= n_real) | (ids < 0)
+        merge_s = jnp.where(dead, 0.0, merge_s)
+        ids = jnp.where(dead, -1, ids)
+        probs = T.score_to_probability(
+            merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate,
+            prior_free=prior_free,
+        )
+        probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
+        return ids, probs, merge_s, tfs_m
+
+    # Sharded validity mask: real docs pass their doc_mask bit; global
+    # pad docs always drop.
+    col = np.arange(D_pad)
+    base_mask = col < n_real
+    if doc_mask is not None:
+        m = np.asarray(doc_mask, bool)
+        base_mask = base_mask & np.concatenate(
+            [m[:D_pad], np.ones(max(D_pad - m.shape[0], 0), bool)])
+    mask_pad = jax.device_put(jnp.asarray(base_mask),
+                              NamedSharding(mesh, P("d")))
+    return body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
+                dense_presence, post_ids_sh, post_w_sh, doc_lengths,
+                jnp.asarray(fslots), jnp.asarray(fcnt),
+                jnp.asarray(tail_rows), jnp.asarray(tail_slots),
+                jnp.asarray(tail_qcnt), mask_pad)
+
+
 def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
                                    tail_ids, tail_w, doc_lengths, avgdl,
                                    fslots, fcnt, tail_rows, tail_qids,
@@ -349,7 +450,8 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
                                    n_docs: int | None = None,
                                    prior_free: bool = False,
                                    precision=jax.lax.Precision.HIGHEST,
-                                   impact_lo=None):
+                                   impact_lo=None, approx: bool = False,
+                                   doc_mask=None):
     """Frequency-split top-k on a (query x document) 2-D mesh.
 
     The dp x tp analogue on the production kernel: the query batch shards
@@ -368,11 +470,11 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
         mesh=mesh,
         in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
                   P("d", None), P("d"), P("q", None), P("q", None), P(None),
-                  P(None, None), P(None, None)),
+                  P(None, None), P(None, None), P("d")),
         out_specs=(P("q", None), P("q", None), P("q", None), P("q", None)),
         check_vma=False,
     )
-    def body(imp, lo, pres, tids, tw, dl, fs, fc, trow, tqi, tqc):
+    def body(imp, lo, pres, tids, tw, dl, fs, fc, trow, tqi, tqc, mask):
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
         scores = _impact_matmul(qvec, imp, lo, precision)
         tfs = jnp.dot(qpres.astype(pres.dtype), pres.T,
@@ -390,9 +492,13 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
         tfs = jnp.concatenate(
             [tfs, jnp.zeros((1, D_local), tfs.dtype)]
         ).at[row_safe].add(t_tfs)[:nq_local]
+        scores = jnp.where(mask[None, :], scores, -jnp.inf)
 
         local_k = min(k, tids.shape[0])
-        top_s, top_local = jax.lax.top_k(scores, local_k)
+        if approx:
+            top_s, top_local = jax.lax.approx_max_k(scores, local_k)
+        else:
+            top_s, top_local = jax.lax.top_k(scores, local_k)
         offset = jax.lax.axis_index("d") * tids.shape[0]
         top_global = top_local + offset
         top_tf = jnp.take_along_axis(tfs, top_local, axis=1)
@@ -407,7 +513,9 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
         ids = jnp.take_along_axis(cand_id, merge_pos, axis=1)
         tfs_m = jnp.take_along_axis(cand_tf, merge_pos, axis=1)
         dl_m = jnp.take_along_axis(cand_dl, merge_pos, axis=1)
-        merge_s = jnp.where(jnp.isfinite(merge_s), merge_s, 0.0)
+        dead = ~jnp.isfinite(merge_s)
+        merge_s = jnp.where(dead, 0.0, merge_s)
+        ids = jnp.where(dead, -1, ids)
         probs = T.score_to_probability(
             merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate,
             prior_free=prior_free,
@@ -415,11 +523,20 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
         probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
         return ids, probs, merge_s, tfs_m
 
+    D_pad = dense_impact.shape[0]
+    col = np.arange(D_pad)
+    base_mask = col < (n_docs if n_docs is not None else D_pad)
+    if doc_mask is not None:
+        m = np.asarray(doc_mask, bool)
+        base_mask = base_mask & np.concatenate(
+            [m[:D_pad], np.ones(max(D_pad - m.shape[0], 0), bool)])
+    mask_pad = jax.device_put(jnp.asarray(base_mask),
+                              NamedSharding(mesh, P("d")))
     out = body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
                dense_presence, tail_ids, tail_w, doc_lengths,
                jnp.asarray(fslots), jnp.asarray(fcnt),
                jnp.asarray(tail_rows), jnp.asarray(tail_qids),
-               jnp.asarray(tail_qcnt))
+               jnp.asarray(tail_qcnt), mask_pad)
     return out[:3]
 
 

@@ -43,23 +43,42 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
 
     Parameters are those of ``BayesianBM25Scorer`` plus:
 
-    mesh: an existing 1-D ``Mesh`` with axis name ``'d'``; or
-    n_devices: build a mesh over the first n devices (default: all).
+    mesh: an existing ``Mesh`` — 1-D with axis ``'d'`` (document
+        sharding) or 2-D with axes ``('q', 'd')`` (query x document); or
+    n_devices: build a 1-D mesh over the first n devices (default: all);
+    mesh_shape: build a 2-D (q, d) mesh, e.g. ``mesh_shape=(2, 4)``.
 
-    ``approx=True`` retrieval (a single-chip latency opt-in) is accepted
-    and ignored: the distributed merge is already candidate-based.
+    Retrieval uses the distributed sparse-candidate kernel (matmul +
+    doc-sharded rare-postings merge — the fastest single-chip kernel,
+    sharded) on 1-D meshes, and the q x d split kernel on 2-D meshes.
+    ``approx=True`` is honored on both: it swaps the per-shard
+    matmul-side leader selection for lax.approx_max_k.
     """
 
     def __init__(self, *args, mesh=None, n_devices: int | None = None,
+                 mesh_shape: tuple[int, int] | None = None,
                  **kwargs) -> None:
         super().__init__(*args, **kwargs)
         if mesh is None:
-            mesh = sharded.make_mesh(n_devices)
-        if mesh.axis_names != ("d",):
+            if mesh_shape is not None:
+                mesh = sharded.make_mesh_2d(*mesh_shape)
+            else:
+                mesh = sharded.make_mesh(n_devices)
+        if mesh.axis_names == ("d",):
+            self._is_2d = False
+        elif mesh.axis_names == ("q", "d"):
+            # 2-D (query x document) mesh: retrieval runs dp-style over
+            # 'q' and corpus-sharded over 'd'
+            # (sharded_retrieve_topk_split_2d); all other entry points
+            # shard over 'd' and replicate across 'q'.
+            self._is_2d = True
+        else:
             raise ValueError(
-                f"mesh must be 1-D with axis name 'd', got {mesh.axis_names}")
+                "mesh must be 1-D ('d',) or 2-D ('q', 'd'), got "
+                f"{mesh.axis_names}")
         self._mesh = mesh
-        self._n_shards = int(mesh.devices.size)
+        self._n_shards = int(mesh.shape["d"])
+        self._post_sh = None  # sharded rare postings (set by index())
 
     @property
     def mesh(self):
@@ -82,20 +101,31 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
         idx.weights = jax.device_put(idx.weights, ds)
         idx.doc_lengths = jax.device_put(idx.doc_lengths, vs)
         s = self._split
+        self._post_sh = None
         if s is not None:
-            # The sparse-candidate path is single-chip-only; the sharded
-            # retrieve uses the (sharded) tail compare tables instead.
+            from bayesian_bm25_tpu.engine import split_index as sidx
+
             # Overflow tables index docs globally — fold them away by
             # rebuilding without overflow when present.
             if s.over_term_ids is not None:
-                from bayesian_bm25_tpu.engine import split_index as sidx
-
                 storage = ("hilo" if s.dense_impact_lo is not None else
                            "bf16" if s.dense_impact.dtype == jnp.bfloat16
                            else "f32")
                 self._split = s = sidx.build_split_index(
                     idx, n_frequent=s.n_frequent, enable_overflow=False,
                     storage=storage)
+            # Doc-shard the rare postings for the distributed
+            # sparse-candidate retrieve (the fastest kernel); falls back
+            # to the tail-compare kernel when postings are over budget.
+            if s.post_doc_ids is not None:
+                pid_sh, pw_sh, df_sh = sidx.build_sharded_postings(
+                    s, self._n_shards)
+                ps = NamedSharding(self._mesh, P("d", None, None))
+                self._post_sh = (
+                    jax.device_put(jnp.asarray(pid_sh), ps),
+                    jax.device_put(jnp.asarray(pw_sh), ps),
+                    df_sh,
+                )
             s.dense_impact = jax.device_put(s.dense_impact, ds)
             s.dense_presence = jax.device_put(s.dense_presence, ds)
             s.tail_term_ids = jax.device_put(s.tail_term_ids, ds)
@@ -121,12 +151,16 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
 
         nq = len(query_tokens_batch)
         nq_pad = sidx._pow2_bucket(max(nq, 1), 1)
+        if self._is_2d:
+            # the query axis of a 2-D mesh must divide the padded batch
+            q = int(self._mesh.shape["q"])
+            nq_pad = -(-nq_pad // q) * q
         padded = list(query_tokens_batch) + [[]] * (nq_pad - nq)
         return sidx.encode_queries_split(padded, self._split)
 
     def retrieve(self, query_tokens, k: int = 10, show_progress: bool = False,
                  explain: bool = False, approx: bool = False, doc_mask=None):
-        del show_progress, approx
+        del show_progress
         if self._transform is None:
             raise RuntimeError("Call index() before retrieve().")
         idx = self._index
@@ -140,7 +174,61 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                     f"doc_mask must have shape ({idx.n_docs},), got "
                     f"{doc_mask.shape}")
         prior_free = t._training_mode == "prior_free"
-        if self._split is not None:
+        if self._is_2d:
+            if self._split is None:
+                raise RuntimeError(
+                    "2-D mesh retrieval requires the split index (corpus "
+                    "too small/vocab too narrow for a split build)")
+            s = self._split
+            enc = self._encode_split(query_tokens)
+            top_ids, probs, top_scores = (
+                sharded.sharded_retrieve_topk_split_2d(
+                    self._mesh, s.dense_impact, s.dense_presence,
+                    s.tail_term_ids, s.tail_weights, idx.doc_lengths,
+                    idx.avgdl, *enc, k_eff, t.alpha, t.beta, t.base_rate,
+                    n_docs=idx.n_docs, prior_free=prior_free,
+                    precision=self._matmul_precision,
+                    impact_lo=s.dense_impact_lo, approx=approx,
+                    doc_mask=doc_mask,
+                )
+            )
+            doc_ids = np.asarray(top_ids)[:nq]
+            probabilities = np.asarray(probs)[:nq].astype(np.float64)
+            if not explain:
+                return doc_ids, probabilities
+            # tf for explain: recompute host-side from the compare helper
+            scores_np = np.asarray(top_scores)[:nq]
+            tfs_np = np.zeros_like(scores_np)
+            for qi, toks in enumerate(query_tokens):
+                if self._corpus_tokens is None:
+                    break
+                tfs_np[qi] = self._compute_tf_batch(
+                    np.maximum(doc_ids[qi], 0), toks)
+            return self._explain_result(
+                doc_ids, probabilities, scores_np, tfs_np)
+        if self._split is not None and self._post_sh is not None:
+            from bayesian_bm25_tpu.engine import split_index as sidx
+
+            s = self._split
+            fslots, fcnt, trows, tqids, tqcnt = self._encode_split(
+                query_tokens)
+            tslots = sidx.map_tail_slots(tqids, s)
+            pid_sh, pw_sh, df_sh = self._post_sh
+            cap = sidx.sharded_candidate_cap(
+                df_sh, tslots, k_eff, pid_sh.shape[2])
+            top_ids, probs, top_scores, top_tfs = (
+                sharded.sharded_retrieve_topk_split_sparse(
+                    self._mesh, s.dense_impact, s.dense_presence,
+                    pid_sh, pw_sh, idx.doc_lengths, idx.avgdl,
+                    fslots, fcnt, trows, tslots, tqcnt, k_eff, cap,
+                    t.alpha, t.beta, t.base_rate,
+                    n_docs=idx.n_docs, prior_free=prior_free,
+                    approx=approx, precision=self._matmul_precision,
+                    doc_mask=doc_mask, impact_lo=s.dense_impact_lo,
+                )
+            )
+        elif self._split is not None:
+            del approx  # candidate-based merge; no approx analogue here
             s = self._split
             enc = self._encode_split(query_tokens)
             top_ids, probs, top_scores, top_tfs = (

@@ -154,8 +154,15 @@ class TestLifecycleParity:
     def test_mesh_validation(self):
         from bayesian_bm25_tpu.parallel.sharded import make_mesh_2d
 
-        with pytest.raises(ValueError, match="axis name 'd'"):
-            ShardedBayesianBM25Scorer(mesh=make_mesh_2d(2, 4))
+        # ('q', 'd') meshes are a first-class surface now; only foreign
+        # axis names reject.
+        sc = ShardedBayesianBM25Scorer(mesh=make_mesh_2d(2, 4))
+        assert sc._is_2d and sc._n_shards == 4
+        import jax
+        from jax.sharding import Mesh
+        bad = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("a", "b"))
+        with pytest.raises(ValueError, match="mesh must be"):
+            ShardedBayesianBM25Scorer(mesh=bad)
 
 
 class TestShardedDocMask:
@@ -224,3 +231,94 @@ class TestAddDocumentsNonDividingMesh:
         ids_d, probs_d, *_ = shard.retrieve(q, k=5)
         np.testing.assert_array_equal(ids_s, ids_d)
         np.testing.assert_allclose(probs_s, probs_d, rtol=1e-5, atol=1e-7)
+
+
+class TestShardedSparsePath:
+    """The 1-D sharded retrieve now routes through the distributed
+    sparse-candidate kernel (doc-sharded rare postings); these pin the
+    routing and the approx opt-in."""
+
+    def test_sparse_postings_built(self, pair):
+        _, shard, _, _ = pair
+        assert shard._post_sh is not None
+        pid_sh, pw_sh, df_sh = shard._post_sh
+        assert pid_sh.shape[0] == 8
+        # per-shard dfs partition the global postings
+        total = np.asarray(df_sh).sum(axis=0)
+        global_df = np.asarray(shard._split.rare_df)
+        np.testing.assert_array_equal(total, global_df)
+
+    def test_approx_flag_runs(self, pair):
+        single, shard, corpus, _ = pair
+        queries = [corpus[2][:5], corpus[8][:4]]
+        ids_a, probs_a = shard.retrieve(queries, k=5, approx=True)
+        ids_e, probs_e = shard.retrieve(queries, k=5, approx=False)
+        assert ids_a.shape == ids_e.shape == (2, 5)
+        # approx recall is high on tiny corpora; top-1 must agree
+        np.testing.assert_array_equal(ids_a[:, 0], ids_e[:, 0])
+
+    def test_sharded_postings_round_trip(self, pair):
+        from bayesian_bm25_tpu.engine import split_index as sidx
+        _, shard, _, _ = pair
+        s = shard._split
+        pid_sh, pw_sh, _ = (np.asarray(shard._post_sh[0]),
+                            np.asarray(shard._post_sh[1]),
+                            shard._post_sh[2])
+        D_pad = s.dense_impact.shape[0]
+        D_local = D_pad // 8
+        # reassembling (shard, local) entries reproduces the global
+        # postings multiset per rare slot
+        got = {}
+        for sh in range(8):
+            for r in range(pid_sh.shape[1]):
+                for c in range(pid_sh.shape[2]):
+                    d = int(pid_sh[sh, r, c])
+                    if d < D_local:
+                        got.setdefault(r, []).append(
+                            (sh * D_local + d, float(pw_sh[sh, r, c])))
+        want = {}
+        gpid = np.asarray(s.post_doc_ids)
+        gpw = np.asarray(s.post_weights)
+        for r in range(gpid.shape[0]):
+            for c in range(gpid.shape[1]):
+                d = int(gpid[r, c])
+                if d < D_pad:
+                    want.setdefault(r, []).append((d, float(gpw[r, c])))
+        for r in want:
+            assert sorted(got.get(r, [])) == sorted(want[r])
+
+
+class TestMesh2D:
+    """2-D (q x d) mesh exposed through the scorer ctor."""
+
+    def test_retrieve_parity_with_single(self):
+        rng = np.random.default_rng(5)
+        corpus = random_corpus(rng, 300, 400, 30)
+        single = BayesianBM25Scorer(base_rate="auto")
+        single.index(corpus, show_progress=False)
+        s2d = ShardedBayesianBM25Scorer(base_rate="auto", mesh_shape=(2, 4))
+        s2d.index(corpus, show_progress=False)
+        queries = [corpus[3][:5], corpus[7][:4], corpus[11][:3]]
+        i1, p1 = single.retrieve(queries, k=5)
+        i2, p2 = s2d.retrieve(queries, k=5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-7)
+
+    def test_doc_mask_on_2d(self):
+        rng = np.random.default_rng(6)
+        corpus = random_corpus(rng, 200, 300, 25)
+        s2d = ShardedBayesianBM25Scorer(base_rate="auto", mesh_shape=(2, 4))
+        s2d.index(corpus, show_progress=False)
+        mask = np.ones(s2d.num_docs, bool)
+        mask[::2] = False
+        ids, probs = s2d.retrieve([corpus[1][:4]], k=5, doc_mask=mask)
+        live = ids[ids >= 0]
+        assert np.all(mask[live])
+
+    def test_bad_mesh_axes_raise(self):
+        import jax
+        from jax.sharding import Mesh
+        devs = np.array(jax.devices()[:8]).reshape(2, 4)
+        bad = Mesh(devs, ("x", "y"))
+        with pytest.raises(ValueError, match="mesh must be"):
+            ShardedBayesianBM25Scorer(mesh=bad)
