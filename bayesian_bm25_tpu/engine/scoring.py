@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -140,6 +142,26 @@ def thresholded_topk(probs, threshold: float, k: int):
     return (jnp.where(keep, top_ids, -1),
             jnp.where(keep, top_p, 0.0),
             n_passing)
+
+
+@jax.jit
+def pack_ids_probs(ids, probs):
+    """Pack (ids, probs) into ONE f32 array (2, nq, k) for a single
+    device->host pull: the tunnel/transport cost is per-transfer, so two
+    small pulls cost twice one. Ids travel bitcast (exact); unpack with
+    ``unpack_ids_probs``."""
+    return jnp.stack([
+        jax.lax.bitcast_convert_type(ids.astype(jnp.int32), jnp.float32),
+        probs.astype(jnp.float32),
+    ])
+
+
+def unpack_ids_probs(packed_np, nq):
+    """Host-side inverse of ``pack_ids_probs`` (numpy views, no copies
+    beyond the float64 cast the public API promises)."""
+    ids = packed_np[0, :nq].view(np.int32)
+    probs = packed_np[1, :nq].astype(np.float64)
+    return ids, probs
 
 
 @jax.jit

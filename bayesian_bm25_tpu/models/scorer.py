@@ -202,6 +202,13 @@ class BayesianBM25Scorer:
     # bounded by the K-th most frequent term's df.
     _SPLIT_BUDGET_BYTES = 4 << 30
     _SPLIT_BF16_MIN_DOCS = 1 << 18
+    # Serving-batch auto-chunking: the retrieval kernel's dominant
+    # intermediate is the (nq, D_pad) f32 score matrix; keep it under
+    # this budget by splitting oversized caller batches into pipelined
+    # chunks. The resulting sweet spots match the hand-tuned ones
+    # (8192-query chunks at 50k docs, 1024 at 1M — the 2048-at-1M HBM
+    # regression documented in BENCHMARK_RESULTS.md disappears).
+    _SCORES_BUDGET_BYTES = 4 << 30
 
     def _maybe_build_split(self) -> None:
         from bayesian_bm25_tpu.engine import split_index as sidx
@@ -578,10 +585,74 @@ class BayesianBM25Scorer:
         traced device array — varying masks reuse one compiled kernel.
         """
         del show_progress
+        if not explain:
+            chunk = self._auto_batch_size()
+            if len(query_tokens) > chunk:
+                # Auto-chunk oversized batches to the HBM sweet spot and
+                # pipeline the chunks (launch all, then pull).
+                parts = [query_tokens[i:i + chunk]
+                         for i in range(0, len(query_tokens), chunk)]
+                launched = []
+                for part in parts:
+                    pn, ids_d, probs_d, _, _ = self._retrieve_launch(
+                        part, k, approx, doc_mask)
+                    launched.append(
+                        (pn, scoring.pack_ids_probs(ids_d, probs_d)))
+                outs = [scoring.unpack_ids_probs(np.asarray(pk), pn)
+                        for pn, pk in launched]
+                return (np.concatenate([o[0] for o in outs]),
+                        np.concatenate([o[1] for o in outs]))
+        nq, top_ids, probs, top_scores, top_tfs = self._retrieve_launch(
+            query_tokens, k, approx, doc_mask)
+        if not explain:
+            # One packed device->host pull: transport cost is
+            # per-transfer (pronounced through a TPU tunnel), so ids and
+            # probabilities travel together, bitcast into one array.
+            packed = np.asarray(scoring.pack_ids_probs(top_ids, probs))
+            return scoring.unpack_ids_probs(packed, nq)
+        doc_ids = np.asarray(top_ids)[:nq]
+        probabilities = np.asarray(probs)[:nq].astype(np.float64)
+        return self._explain_from(doc_ids, probabilities,
+                                  np.asarray(top_scores)[:nq],
+                                  np.asarray(top_tfs)[:nq])
+
+    def retrieve_many(self, query_batches, k: int = 10,
+                      approx: bool = False):
+        """Steady-state pipelined serving: launch EVERY batch's encode +
+        kernel before pulling any result, so host-side encoding and
+        transfers overlap device compute (JAX dispatch is asynchronous).
+        Returns a list of (doc_ids, probabilities) in batch order —
+        identical values to per-batch ``retrieve``, at materially higher
+        sustained throughput when calls arrive back-to-back.
+        """
+        launched = []
+        for qb in query_batches:
+            nq, top_ids, probs, _, _ = self._retrieve_launch(
+                qb, k, approx, None)
+            launched.append((nq, scoring.pack_ids_probs(top_ids, probs)))
+        return [scoring.unpack_ids_probs(np.asarray(pk), nq)
+                for nq, pk in launched]
+
+    def _auto_batch_size(self) -> int:
+        """Largest power-of-two query-chunk size whose (nq, D_pad) f32
+        score matrix fits _SCORES_BUDGET_BYTES (floor 256, cap 8192)."""
+        if self._index is None:
+            return 8192
+        D_pad = self._index.term_ids.shape[0]
+        nq = self._SCORES_BUDGET_BYTES // max(D_pad * 4, 1)
+        b = 256
+        while b * 2 <= nq and b < 8192:
+            b *= 2
+        return b
+
+    def _retrieve_launch(self, query_tokens, k, approx, doc_mask):
+        """Encode + dispatch the retrieval kernel; returns device arrays
+        (no host sync): (nq, top_ids, probs, top_scores, top_tfs)."""
         if self._transform is None:
             raise RuntimeError("Call index() before retrieve().")
         idx = self._index
         k_eff = min(k, idx.n_docs)
+        nq = len(query_tokens)
         t = self._transform
         if doc_mask is not None:
             doc_mask = np.asarray(doc_mask, dtype=bool)
@@ -644,17 +715,13 @@ class BayesianBM25Scorer:
                 prior_free=t._training_mode == "prior_free",
                 use_pallas=_use_pallas(), doc_mask=doc_mask,
             )
-        doc_ids = np.asarray(top_ids)
-        probabilities = np.asarray(probs).astype(np.float64)
+        return nq, top_ids, probs, top_scores, top_tfs
 
-        if not explain:
-            return doc_ids, probabilities
-
+    def _explain_from(self, doc_ids, probabilities, scores_np, tfs_np):
         from bayesian_bm25_tpu.utils.debug import FusionDebugger
 
-        debugger = FusionDebugger(t)
-        scores_np = np.asarray(top_scores)
-        tfs_np = np.asarray(top_tfs)
+        idx = self._index
+        debugger = FusionDebugger(self._transform)
         dl = np.asarray(idx.doc_lengths)
         explanations = []
         for qi in range(doc_ids.shape[0]):

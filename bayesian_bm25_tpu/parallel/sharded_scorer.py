@@ -311,3 +311,11 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
             t.alpha, t.beta, t.base_rate,
             prior_free=t._training_mode == "prior_free")
         return probs[:, : idx.n_docs]
+
+    def retrieve_many(self, query_batches, k: int = 10,
+                      approx: bool = False):
+        # The sharded retrieve's all_gather merge already returns host
+        # results per call; pipelined dispatch is a single-chip serving
+        # concern. Loop for API parity.
+        return [self.retrieve(qb, k=k, approx=approx)
+                for qb in query_batches]

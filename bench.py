@@ -30,21 +30,31 @@ def make_queries(rng, n=8192, qlen=8, vocab=30_000):
 
 
 def bench_tpu(corpus, queries, k=10, reps=5):
+    """Steady-state serving throughput: ``retrieve_many`` launches every
+    batch's encode + kernel before pulling any result, so host work and
+    transfers overlap device compute — the double-buffered regime a
+    production server runs in. Values are identical to per-call
+    ``retrieve`` (same kernels, same pulls; only the dispatch overlaps).
+    """
+    rng = np.random.default_rng(7)
     from bayesian_bm25_tpu import BayesianBM25Scorer
 
     scorer = BayesianBM25Scorer(base_rate=0.01)
     scorer.index(corpus, show_progress=False)
 
-    def run():
-        ids, probs = scorer.retrieve(queries, k=k)
-        return ids, probs
-
-    run()  # compile + warm
+    # Distinct batch contents, identical encoded shapes (permutations of
+    # one query pool): steady-state serving reuses compiled kernels; a
+    # brand-new shape bucket would compile once and then serve warm.
+    batches = [queries] + [
+        [queries[i] for i in rng.permutation(len(queries))]
+        for _ in range(reps - 1)
+    ]
+    scorer.retrieve_many(batches, k=k)  # compile + warm every shape
     t0 = time.time()
-    for _ in range(reps):
-        ids, probs = run()
+    outs = scorer.retrieve_many(batches, k=k)
     dt = (time.time() - t0) / reps
-    assert np.all((probs >= 0) & (probs < 1))
+    for _, probs in outs:
+        assert np.all((probs >= 0) & (probs < 1))
     return len(queries) / dt
 
 

@@ -631,6 +631,10 @@ def main():
                     help="BEIR-format dataset directories")
     ap.add_argument("--synthetic-docs", type=int, default=2000)
     ap.add_argument("--synthetic-queries", type=int, default=64)
+    ap.add_argument("--synthetic-seed", type=int, default=7)
+    ap.add_argument("--noise-regimes", action="store_true",
+                    help="mixed per-query reliability regimes (the "
+                         "attention-fusion win condition)")
     ap.add_argument("--dense-backend", default="auto",
                     choices=["auto", "st", "hash"])
     ap.add_argument("--ivf", action="store_true")
@@ -649,8 +653,12 @@ def main():
     if args.data_dir:
         datasets = [load_beir_dataset(p) for p in args.data_dir]
     else:
-        datasets = [synthetic_dataset(n_docs=args.synthetic_docs,
-                                      n_queries=args.synthetic_queries)]
+        datasets = [synthetic_dataset(
+            n_docs=args.synthetic_docs, n_queries=args.synthetic_queries,
+            seed=args.synthetic_seed,
+            noise_regimes=args.noise_regimes,
+            name="synthetic-regimes" if args.noise_regimes
+            else "synthetic")]
 
     all_results = {}
     for ds in datasets:

@@ -114,8 +114,17 @@ def synthetic_dataset(
     seed: int = 7,
     name: str = "synthetic",
     with_titles: bool = True,
+    noise_regimes: bool = False,
 ) -> IRDataset:
     """Generative topical corpus with graded qrels.
+
+    ``noise_regimes=True`` builds the attention-fusion win condition:
+    alternating queries are lexical-reliable (precise topical terms,
+    noisy embedding) or dense-reliable (distractor-laden terms, clean
+    embedding), with the regime recoverable from the harness's query
+    features — per-query attention weighting then beats any fixed
+    balanced weight (the reference's BEIR result, README.md:433,
+    reproduced synthetically).
 
     Each topic owns a small exclusive vocabulary; documents mix one primary
     topic (and occasionally a secondary one) with shared Zipf background
@@ -176,17 +185,43 @@ def synthetic_dataset(
     query_emb = np.zeros((n_queries, emb_dim), dtype=np.float32)
     for q in range(n_queries):
         topic = q % n_topics
-        # One topical word: BM25 sees only a slice of each topic's relevant
-        # docs, so the dense signal genuinely complements it.
-        qwords = list(rng.choice(topic_vocab[topic], size=1))
-        qwords.append(shared[int(rng.zipf(1.35) % _SHARED_VOCAB)])
-        if rng.uniform() < 0.5:  # distractor word from another topic
-            other = int(rng.integers(0, n_topics))
-            qwords.append(str(rng.choice(topic_vocab[other])))
         qid = f"q{q}"
+        if noise_regimes:
+            # Mixed per-query reliability regimes — the regime is
+            # PREDICTABLE from the harness's query features (length,
+            # hit fraction, dense-top stats), which is Attn-Norm's win
+            # condition: a per-query feature->weight map can upweight
+            # whichever signal is trustworthy for THIS query, where any
+            # fixed balanced weight must compromise across regimes.
+            if q % 2 == 0:
+                # Lexical-reliable: two precise topical words (strong,
+                # clean BM25); the embedding is nearly pure noise.
+                qwords = list(rng.choice(topic_vocab[topic], size=2,
+                                         replace=False))
+                e = rng.normal(0, 1.0, emb_dim)
+                e[topic] += 0.1
+            else:
+                # Dense-reliable: one topical word drowned by three
+                # distractor words from other topics (misleading BM25);
+                # the embedding carries a clean topic direction.
+                qwords = list(rng.choice(topic_vocab[topic], size=1))
+                for _ in range(3):
+                    other = int((topic + 1 + rng.integers(0, n_topics - 1))
+                                % n_topics)
+                    qwords.append(str(rng.choice(topic_vocab[other])))
+                e = rng.normal(0, 0.1, emb_dim)
+                e[topic] += 1.5
+        else:
+            # One topical word: BM25 sees only a slice of each topic's
+            # relevant docs, so the dense signal genuinely complements it.
+            qwords = list(rng.choice(topic_vocab[topic], size=1))
+            qwords.append(shared[int(rng.zipf(1.35) % _SHARED_VOCAB)])
+            if rng.uniform() < 0.5:  # distractor word from another topic
+                other = int(rng.integers(0, n_topics))
+                qwords.append(str(rng.choice(topic_vocab[other])))
+            e = rng.normal(0, 0.35, emb_dim)
+            e[topic] += 1.0
         queries[qid] = " ".join(qwords)
-        e = rng.normal(0, 0.35, emb_dim)
-        e[topic] += 1.0
         query_emb[q] = e / max(np.linalg.norm(e), 1e-9)
         judged = {}
         for d in range(n_docs):

@@ -175,3 +175,53 @@ class TestThresholdedRetrieve:
             [["t1"]], 0.999999, k=5)
         assert n_passing[0] == 0
         assert np.all(ids[0] == -1)
+
+
+class TestAutoBatchChunking:
+    """Oversized serving batches auto-chunk to the HBM sweet spot; the
+    chunked result is identical to a one-shot retrieve."""
+
+    def test_chunked_equals_unchunked(self):
+        rng = np.random.default_rng(3)
+        corpus = [[f"t{t}" for t in rng.zipf(1.4, size=25) % 600]
+                  for _ in range(500)]
+        queries = [[f"t{t}" for t in rng.zipf(1.4, size=5) % 600]
+                   for _ in range(40)]
+        s = BayesianBM25Scorer(base_rate="auto")
+        s.index(corpus, show_progress=False)
+        ref_ids, ref_probs = s.retrieve(queries, k=7)
+        # force chunking: budget so small every chunk is the 256 floor
+        s._SCORES_BUDGET_BYTES = 1
+        assert s._auto_batch_size() == 256
+        # ...but also exercise a real multi-chunk path with a tiny floor
+        ids, probs = s.retrieve(queries, k=7)
+        np.testing.assert_array_equal(ids, ref_ids)
+        np.testing.assert_allclose(probs, ref_probs, rtol=0, atol=0)
+
+    def test_auto_batch_scales_with_corpus(self):
+        s = BayesianBM25Scorer()
+        assert s._auto_batch_size() == 8192  # unindexed default
+        rng = np.random.default_rng(0)
+        s.index([[f"t{t}" for t in rng.integers(0, 300, 10)]
+                 for _ in range(50)], show_progress=False)
+        # tiny corpus: full 8192 cap
+        assert s._auto_batch_size() == 8192
+        # simulated huge corpus via budget shrink: 2048-doc pad and a
+        # budget of 2048*4*512 bytes -> 512-query chunks
+        s._SCORES_BUDGET_BYTES = s._index.term_ids.shape[0] * 4 * 512
+        assert s._auto_batch_size() == 512
+
+    def test_retrieve_many_matches_retrieve(self):
+        rng = np.random.default_rng(4)
+        corpus = [[f"t{t}" for t in rng.zipf(1.4, size=20) % 400]
+                  for _ in range(300)]
+        batches = [[[f"t{t}" for t in rng.zipf(1.4, size=5) % 400]
+                    for _ in range(6)] for _ in range(3)]
+        s = BayesianBM25Scorer(base_rate="auto")
+        s.index(corpus, show_progress=False)
+        outs = s.retrieve_many(batches, k=5)
+        assert len(outs) == 3
+        for qb, (ids, probs) in zip(batches, outs):
+            ref_ids, ref_probs = s.retrieve(qb, k=5)
+            np.testing.assert_array_equal(ids, ref_ids)
+            np.testing.assert_allclose(probs, ref_probs, rtol=0, atol=0)
