@@ -12,6 +12,7 @@ and fit() gradients aggregate with psum.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import numpy as np
@@ -145,19 +146,44 @@ def sharded_retrieve_topk(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,
     candidates, so coverage of the true top-k is preserved); the candidate
     gather order (shard-major, local-rank-minor over contiguously sharded
     docs) reproduces the single-chip lowest-id tie-break exactly.
+    Compiled program cached per (mesh, static config); scalars travel as
+    operands.
     """
+    body = _compare_retrieve_body(mesh, k, n_docs, bool(prior_free),
+                                  base_rate is not None)
+    D_pad = term_ids.shape[0]
+    if doc_mask is None:
+        mask_pad = jnp.ones((D_pad,), bool)
+    else:
+        mask_pad = jnp.concatenate([
+            jnp.asarray(doc_mask, bool)[:D_pad],
+            jnp.ones((max(D_pad - jnp.asarray(doc_mask).shape[0], 0),),
+                     bool)])
+    mask_pad = jax.device_put(mask_pad, NamedSharding(mesh, P("d")))
+    f32 = jnp.float32
+    ids, probs, scores, tfs = body(
+        term_ids, weights, doc_lengths, qids, qcnt, mask_pad,
+        jnp.asarray(alpha, f32), jnp.asarray(beta, f32),
+        jnp.asarray(0.0 if base_rate is None else base_rate, f32),
+        jnp.asarray(avgdl, f32))
+    if return_tfs:
+        return ids, probs, scores, tfs
+    return ids, probs, scores
 
+
+@functools.lru_cache(maxsize=None)
+def _compare_retrieve_body(mesh, k, n_docs, prior_free, has_base_rate):
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P("d", None), P("d", None), P("d"), P(None, None),
-                  P(None, None), P("d")),
+                  P(None, None), P("d"), P(), P(), P(), P()),
         out_specs=(P(None, None), P(None, None), P(None, None), P(None, None)),
         # Outputs are replicated by construction (derived from all_gather +
         # replicated params) but the static vma check can't infer that.
         check_vma=False,
     )
-    def body(tids, w, dl, qi, qc, mask):
+    def body(tids, w, dl, qi, qc, mask, alpha, beta, br, avgdl):
         scores, tfs = _local_score(tids, w, qi, qc)
         # doc_mask rides the same 'd' sharding as the corpus: masked docs
         # drop to -inf before the local top-k, exactly as single-chip.
@@ -184,26 +210,14 @@ def sharded_retrieve_topk(mesh: Mesh, term_ids, weights, doc_lengths, avgdl,
         merge_s = jnp.where(dead, 0.0, merge_s)
         ids = jnp.where(dead, -1, ids)
         probs = T.score_to_probability(
-            merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate,
+            merge_s, tfs_m, dl_m / avgdl, alpha, beta,
+            br if has_base_rate else None,
             prior_free=prior_free,
         )
         probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
         return ids, probs, merge_s, tfs_m
 
-    D_pad = term_ids.shape[0]
-    if doc_mask is None:
-        mask_pad = jnp.ones((D_pad,), bool)
-    else:
-        mask_pad = jnp.concatenate([
-            jnp.asarray(doc_mask, bool)[:D_pad],
-            jnp.ones((max(D_pad - jnp.asarray(doc_mask).shape[0], 0),),
-                     bool)])
-    mask_pad = jax.device_put(mask_pad, NamedSharding(mesh, P("d")))
-    ids, probs, scores, tfs = body(term_ids, weights, doc_lengths, qids,
-                                   qcnt, mask_pad)
-    if return_tfs:
-        return ids, probs, scores, tfs
-    return ids, probs, scores
+    return jax.jit(body)
 
 
 def corpus_stats_psum(mesh: Mesh, doc_lengths, term_ids, n_terms: int):
@@ -268,8 +282,36 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
     The frequent-term matmul shards trivially over the doc axis (each shard
     multiplies the replicated query matrix against its slab); the tail
     compare and top-k merge follow the same per-shard + all_gather pattern
-    as sharded_retrieve_topk.
+    as sharded_retrieve_topk. Compiled program cached per (mesh, static
+    config); scalars travel as operands.
     """
+    body = _split_retrieve_body(mesh, k, n_docs, bool(prior_free),
+                                precision, base_rate is not None)
+    D_pad = dense_impact.shape[0]
+    if doc_mask is None:
+        mask_pad = jnp.ones((D_pad,), bool)
+    else:
+        m = jnp.asarray(doc_mask, bool)
+        mask_pad = jnp.concatenate(
+            [m[:D_pad], jnp.ones((max(D_pad - m.shape[0], 0),), bool)])
+    mask_pad = jax.device_put(mask_pad, NamedSharding(mesh, P("d")))
+    f32 = jnp.float32
+    out = body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
+               dense_presence, tail_ids, tail_w, doc_lengths,
+               jnp.asarray(fslots), jnp.asarray(fcnt),
+               jnp.asarray(tail_rows), jnp.asarray(tail_qids),
+               jnp.asarray(tail_qcnt), mask_pad,
+               jnp.asarray(alpha, f32), jnp.asarray(beta, f32),
+               jnp.asarray(0.0 if base_rate is None else base_rate, f32),
+               jnp.asarray(avgdl, f32))
+    if return_tfs:
+        return out
+    return out[:3]
+
+
+@functools.lru_cache(maxsize=None)
+def _split_retrieve_body(mesh, k, n_docs, prior_free, precision,
+                         has_base_rate):
     from bayesian_bm25_tpu.engine.split_index import (
         _densify_queries, _impact_matmul)
 
@@ -278,12 +320,14 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
         mesh=mesh,
         in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
                   P("d", None), P("d"), P(None, None), P(None, None),
-                  P(None), P(None, None), P(None, None), P("d")),
+                  P(None), P(None, None), P(None, None), P("d"),
+                  P(), P(), P(), P()),
         out_specs=(P(None, None), P(None, None), P(None, None),
                    P(None, None)),
         check_vma=False,
     )
-    def body(imp, lo, pres, tids, tw, dl, fs, fc, trow, tqi, tqc, mask):
+    def body(imp, lo, pres, tids, tw, dl, fs, fc, trow, tqi, tqc, mask,
+             alpha, beta, br, avgdl):
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
         scores = _impact_matmul(qvec, imp, lo, precision)
         # Presence/tf is exact in one bf16 pass (0/1 operands, f32
@@ -315,28 +359,14 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
         merge_s = jnp.where(dead, 0.0, merge_s)
         ids = jnp.where(dead, -1, ids)
         probs = T.score_to_probability(
-            merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate,
+            merge_s, tfs_m, dl_m / avgdl, alpha, beta,
+            br if has_base_rate else None,
             prior_free=prior_free,
         )
         probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
         return ids, probs, merge_s, tfs_m
 
-    D_pad = dense_impact.shape[0]
-    if doc_mask is None:
-        mask_pad = jnp.ones((D_pad,), bool)
-    else:
-        m = jnp.asarray(doc_mask, bool)
-        mask_pad = jnp.concatenate(
-            [m[:D_pad], jnp.ones((max(D_pad - m.shape[0], 0),), bool)])
-    mask_pad = jax.device_put(mask_pad, NamedSharding(mesh, P("d")))
-    out = body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
-               dense_presence, tail_ids, tail_w, doc_lengths,
-               jnp.asarray(fslots), jnp.asarray(fcnt),
-               jnp.asarray(tail_rows), jnp.asarray(tail_qids),
-               jnp.asarray(tail_qcnt), mask_pad)
-    if return_tfs:
-        return out
-    return out[:3]
+    return jax.jit(body)
 
 
 def sharded_retrieve_topk_split_sparse(
@@ -345,7 +375,7 @@ def sharded_retrieve_topk_split_sparse(
         k: int, cand_cap: int, alpha, beta, base_rate=None,
         n_docs: int | None = None, prior_free: bool = False,
         approx: bool = False, precision=jax.lax.Precision.HIGHEST,
-        doc_mask=None, impact_lo=None):
+        doc_mask=None, impact_lo=None, local_k: int | None = None):
     """Distributed sparse-candidate exact top-k (the fastest single-chip
     kernel, doc-sharded): per shard, one MXU matmul + local leader
     selection + rare-postings merge against the SHARD-LOCAL postings
@@ -360,12 +390,57 @@ def sharded_retrieve_topk_split_sparse(
     lowest-doc-id tie-break. ``approx=True`` swaps the per-shard
     matmul-side leader selection for lax.approx_max_k (the rare merge
     stays exact). Ref intent: scorer.py:525-529 retrieve parity.
-    """
-    from bayesian_bm25_tpu.engine.split_index import (
-        _densify_queries, _impact_matmul, _sparse_merge)
 
+    Merge-cost model: each query ships local_k candidates x 16 bytes
+    (score, id, tf, dl) per shard over ICI — k*n_shards*16 B/query at
+    the exact default, independent of corpus size. ``local_k`` < k is a
+    recall trade for very large k protocols (e.g. the reference's
+    R=1000 candidate unions, hybrid_beir.py:1747): per-shard candidate
+    lists shrink to local_k and the merge reduces from k*n_shards to
+    local_k*n_shards values; exactness then requires the true top-k to
+    never concentrate more than local_k docs on one shard (guaranteed
+    only at local_k = k, the default).
+
+    The compiled program is cached per (mesh, static config): transform
+    scalars travel as operands, so repeated serving calls re-dispatch
+    the same executable instead of re-tracing (a per-call body closure
+    was measured recompiling EVERY retrieve on the scaling study).
+    """
     D_pad = dense_impact.shape[0]
     n_real = n_docs if n_docs is not None else D_pad
+    lk = min(local_k or k, k)
+    body = _sparse_retrieve_body(
+        mesh, k, lk, cand_cap, n_real, bool(prior_free), bool(approx),
+        precision, base_rate is not None)
+
+    # Sharded validity mask: real docs pass their doc_mask bit; global
+    # pad docs always drop.
+    col = np.arange(D_pad)
+    base_mask = col < n_real
+    if doc_mask is not None:
+        m = np.asarray(doc_mask, bool)
+        base_mask = base_mask & np.concatenate(
+            [m[:D_pad], np.ones(max(D_pad - m.shape[0], 0), bool)])
+    mask_pad = jax.device_put(jnp.asarray(base_mask),
+                              NamedSharding(mesh, P("d")))
+    f32 = jnp.float32
+    return body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
+                dense_presence, post_ids_sh, post_w_sh, doc_lengths,
+                jnp.asarray(fslots), jnp.asarray(fcnt),
+                jnp.asarray(tail_rows), jnp.asarray(tail_slots),
+                jnp.asarray(tail_qcnt), mask_pad,
+                jnp.asarray(alpha, f32), jnp.asarray(beta, f32),
+                jnp.asarray(0.0 if base_rate is None else base_rate, f32),
+                jnp.asarray(avgdl, f32))
+
+
+@functools.lru_cache(maxsize=None)
+def _sparse_retrieve_body(mesh, k, lk, cand_cap, n_real, prior_free,
+                          approx, precision, has_base_rate):
+    """Compiled per-shard sparse retrieve, cached on the static config
+    (mesh + shape/selection parameters). Scalars are operands."""
+    from bayesian_bm25_tpu.engine.split_index import (
+        _densify_queries, _impact_matmul, _sparse_merge)
 
     @partial(
         jax.shard_map,
@@ -373,12 +448,13 @@ def sharded_retrieve_topk_split_sparse(
         in_specs=(P("d", None), P("d", None), P("d", None),
                   P("d", None, None), P("d", None, None), P("d"),
                   P(None, None), P(None, None), P(None), P(None, None),
-                  P(None, None), P("d")),
+                  P(None, None), P("d"), P(), P(), P(), P()),
         out_specs=(P(None, None), P(None, None), P(None, None),
                    P(None, None)),
         check_vma=False,
     )
-    def body(imp, lo, pres, pid3, pw3, dl, fs, fc, trow, tsl, tqc, mask):
+    def body(imp, lo, pres, pid3, pw3, dl, fs, fc, trow, tsl, tqc, mask,
+             alpha, beta, br, avgdl):
         pid = pid3[0]
         pw = pw3[0]
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
@@ -390,11 +466,11 @@ def sharded_retrieve_topk_split_sparse(
         # win through postings (postings contain only real docs).
         scores = jnp.where(mask[None, :], scores, -jnp.inf)
         if approx:
-            topm_s, topm_i = jax.lax.approx_max_k(scores, k)
+            topm_s, topm_i = jax.lax.approx_max_k(scores, lk)
         else:
-            topm_s, topm_i = jax.lax.top_k(scores, k)
+            topm_s, topm_i = jax.lax.top_k(scores, lk)
         out_ids, out_scores, out_tail_tf = _sparse_merge(
-            scores, topm_s, topm_i, pid, pw, trow, tsl, tqc, k,
+            scores, topm_s, topm_i, pid, pw, trow, tsl, tqc, lk,
             cand_cap, D_local)
 
         safe = jnp.maximum(out_ids, 0)
@@ -411,7 +487,7 @@ def sharded_retrieve_topk_split_sparse(
         cand_id = jax.lax.all_gather(gids, "d", axis=1, tiled=True)
         cand_tf = jax.lax.all_gather(local_tf, "d", axis=1, tiled=True)
         cand_dl = jax.lax.all_gather(local_dl, "d", axis=1, tiled=True)
-        merge_s, merge_pos = jax.lax.top_k(cand_s, k)
+        merge_s, merge_pos = jax.lax.top_k(cand_s, min(k, cand_s.shape[1]))
         ids = jnp.take_along_axis(cand_id, merge_pos, axis=1)
         tfs_m = jnp.take_along_axis(cand_tf, merge_pos, axis=1)
         dl_m = jnp.take_along_axis(cand_dl, merge_pos, axis=1)
@@ -419,27 +495,14 @@ def sharded_retrieve_topk_split_sparse(
         merge_s = jnp.where(dead, 0.0, merge_s)
         ids = jnp.where(dead, -1, ids)
         probs = T.score_to_probability(
-            merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate,
+            merge_s, tfs_m, dl_m / avgdl, alpha, beta,
+            br if has_base_rate else None,
             prior_free=prior_free,
         )
         probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
         return ids, probs, merge_s, tfs_m
 
-    # Sharded validity mask: real docs pass their doc_mask bit; global
-    # pad docs always drop.
-    col = np.arange(D_pad)
-    base_mask = col < n_real
-    if doc_mask is not None:
-        m = np.asarray(doc_mask, bool)
-        base_mask = base_mask & np.concatenate(
-            [m[:D_pad], np.ones(max(D_pad - m.shape[0], 0), bool)])
-    mask_pad = jax.device_put(jnp.asarray(base_mask),
-                              NamedSharding(mesh, P("d")))
-    return body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
-                dense_presence, post_ids_sh, post_w_sh, doc_lengths,
-                jnp.asarray(fslots), jnp.asarray(fcnt),
-                jnp.asarray(tail_rows), jnp.asarray(tail_slots),
-                jnp.asarray(tail_qcnt), mask_pad)
+    return jax.jit(body)
 
 
 def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
@@ -461,7 +524,35 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
     slice — out-of-slice (and pad) rows target a trash row, contributing
     nothing, so every tail row lands exactly once across the 'q' axis.
     Candidates all_gather over 'd' only; outputs stay q-sharded.
+    Compiled program cached per (mesh, static config).
     """
+    body = _split_retrieve_2d_body(mesh, k, n_docs, bool(prior_free),
+                                   precision, bool(approx),
+                                   base_rate is not None)
+    D_pad = dense_impact.shape[0]
+    col = np.arange(D_pad)
+    base_mask = col < (n_docs if n_docs is not None else D_pad)
+    if doc_mask is not None:
+        m = np.asarray(doc_mask, bool)
+        base_mask = base_mask & np.concatenate(
+            [m[:D_pad], np.ones(max(D_pad - m.shape[0], 0), bool)])
+    mask_pad = jax.device_put(jnp.asarray(base_mask),
+                              NamedSharding(mesh, P("d")))
+    f32 = jnp.float32
+    out = body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
+               dense_presence, tail_ids, tail_w, doc_lengths,
+               jnp.asarray(fslots), jnp.asarray(fcnt),
+               jnp.asarray(tail_rows), jnp.asarray(tail_qids),
+               jnp.asarray(tail_qcnt), mask_pad,
+               jnp.asarray(alpha, f32), jnp.asarray(beta, f32),
+               jnp.asarray(0.0 if base_rate is None else base_rate, f32),
+               jnp.asarray(avgdl, f32))
+    return out[:3]
+
+
+@functools.lru_cache(maxsize=None)
+def _split_retrieve_2d_body(mesh, k, n_docs, prior_free, precision, approx,
+                            has_base_rate):
     from bayesian_bm25_tpu.engine.split_index import (
         _densify_queries, _impact_matmul)
 
@@ -470,11 +561,12 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
         mesh=mesh,
         in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
                   P("d", None), P("d"), P("q", None), P("q", None), P(None),
-                  P(None, None), P(None, None), P("d")),
+                  P(None, None), P(None, None), P("d"), P(), P(), P(), P()),
         out_specs=(P("q", None), P("q", None), P("q", None), P("q", None)),
         check_vma=False,
     )
-    def body(imp, lo, pres, tids, tw, dl, fs, fc, trow, tqi, tqc, mask):
+    def body(imp, lo, pres, tids, tw, dl, fs, fc, trow, tqi, tqc, mask,
+             alpha, beta, br, avgdl):
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
         scores = _impact_matmul(qvec, imp, lo, precision)
         tfs = jnp.dot(qpres.astype(pres.dtype), pres.T,
@@ -517,27 +609,14 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
         merge_s = jnp.where(dead, 0.0, merge_s)
         ids = jnp.where(dead, -1, ids)
         probs = T.score_to_probability(
-            merge_s, tfs_m, dl_m / avgdl, alpha, beta, base_rate,
+            merge_s, tfs_m, dl_m / avgdl, alpha, beta,
+            br if has_base_rate else None,
             prior_free=prior_free,
         )
         probs = jnp.where(merge_s > 0, probs.astype(merge_s.dtype), 0.0)
         return ids, probs, merge_s, tfs_m
 
-    D_pad = dense_impact.shape[0]
-    col = np.arange(D_pad)
-    base_mask = col < (n_docs if n_docs is not None else D_pad)
-    if doc_mask is not None:
-        m = np.asarray(doc_mask, bool)
-        base_mask = base_mask & np.concatenate(
-            [m[:D_pad], np.ones(max(D_pad - m.shape[0], 0), bool)])
-    mask_pad = jax.device_put(jnp.asarray(base_mask),
-                              NamedSharding(mesh, P("d")))
-    out = body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
-               dense_presence, tail_ids, tail_w, doc_lengths,
-               jnp.asarray(fslots), jnp.asarray(fcnt),
-               jnp.asarray(tail_rows), jnp.asarray(tail_qids),
-               jnp.asarray(tail_qcnt), mask_pad)
-    return out[:3]
+    return jax.jit(body)
 
 
 def sharded_scores_all(mesh: Mesh, term_ids, weights, qids, qcnt):
@@ -589,7 +668,18 @@ def sharded_scores_all_split(mesh: Mesh, dense_impact, dense_presence,
     """Dense (nq, D) scores + tf via the frequency-split kernel, sharded
     over the document axis (axis 1 of the outputs). Bit-identical per
     element to the single-chip split kernel: each shard's matmul computes
-    the same row dot products, and the tail compare adds locally."""
+    the same row dot products, and the tail compare adds locally.
+    Compiled program cached per (mesh, precision)."""
+    body = _scores_all_split_body(mesh, precision)
+    return body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
+                dense_presence, tail_ids, tail_w,
+                jnp.asarray(fslots), jnp.asarray(fcnt),
+                jnp.asarray(tail_rows), jnp.asarray(tail_qids),
+                jnp.asarray(tail_qcnt))
+
+
+@functools.lru_cache(maxsize=None)
+def _scores_all_split_body(mesh, precision):
     from bayesian_bm25_tpu.engine.split_index import (
         _densify_queries, _impact_matmul)
 
@@ -611,11 +701,7 @@ def sharded_scores_all_split(mesh: Mesh, dense_impact, dense_presence,
         tfs = tfs.at[trow].add(t_tfs)
         return scores, tfs
 
-    return body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
-                dense_presence, tail_ids, tail_w,
-                jnp.asarray(fslots), jnp.asarray(fcnt),
-                jnp.asarray(tail_rows), jnp.asarray(tail_qids),
-                jnp.asarray(tail_qcnt))
+    return jax.jit(body)
 
 
 def apply_transform_sharded(mesh: Mesh, scores, tfs, doc_lengths, avgdl,

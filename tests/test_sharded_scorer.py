@@ -71,7 +71,9 @@ class TestQueryParity:
         i1, p1 = single.retrieve([["t3"]], k=50)
         i2, p2 = shard.retrieve([["t3"]], k=50)
         np.testing.assert_array_equal(i1, i2)
-        np.testing.assert_array_equal(p1, p2)
+        # transform scalars travel as f32 operands on the sharded path
+        # (compiled-program caching): last-ulp probability agreement
+        np.testing.assert_allclose(p1, p2, rtol=1e-6, atol=1e-9)
 
     def test_scores_batch_exact(self, pair):
         single, shard, corpus, _ = pair
@@ -149,7 +151,7 @@ class TestLifecycleParity:
         i1, p1 = s1.retrieve_texts(["topic 3"], k=5)
         i2, p2 = s2.retrieve_texts(["topic 3"], k=5)
         np.testing.assert_array_equal(i1, i2)
-        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_allclose(p1, p2, rtol=1e-6, atol=1e-9)
 
     def test_mesh_validation(self):
         from bayesian_bm25_tpu.parallel.sharded import make_mesh_2d
@@ -322,3 +324,63 @@ class TestMesh2D:
         bad = Mesh(devs, ("x", "y"))
         with pytest.raises(ValueError, match="mesh must be"):
             ShardedBayesianBM25Scorer(mesh=bad)
+
+
+class TestLocalK:
+    """local_k < k: the large-k merge-bandwidth trade (reference R=1000
+    protocols) — per-shard candidates shrink; exact at local_k=k."""
+
+    def test_local_k_equals_k_is_exact(self, pair):
+        from bayesian_bm25_tpu.engine import split_index as sidx
+        from bayesian_bm25_tpu.parallel import sharded
+        single, shard, corpus, _ = pair
+        queries = [corpus[1][:5], corpus[6][:4]]
+        s = shard._split
+        idx = shard._index
+        t = shard.transform
+        fslots, fcnt, trows, tqids, tqcnt = shard._encode_split(queries)
+        tslots = sidx.map_tail_slots(tqids, s)
+        pid_sh, pw_sh, df_sh = shard._post_sh
+        cap = sidx.sharded_candidate_cap(df_sh, tslots, 25, pid_sh.shape[2])
+        out = sharded.sharded_retrieve_topk_split_sparse(
+            shard.mesh, s.dense_impact, s.dense_presence, pid_sh, pw_sh,
+            idx.doc_lengths, idx.avgdl, fslots, fcnt, trows, tslots,
+            tqcnt, 25, cap, t.alpha, t.beta, t.base_rate,
+            n_docs=idx.n_docs, impact_lo=s.dense_impact_lo, local_k=25)
+        ref_ids, ref_probs = single.retrieve(queries, k=25)
+        np.testing.assert_array_equal(np.asarray(out[0])[:2], ref_ids)
+
+    def test_local_k_reduced_high_recall(self, pair):
+        from bayesian_bm25_tpu.engine import split_index as sidx
+        from bayesian_bm25_tpu.parallel import sharded
+        single, shard, corpus, _ = pair
+        queries = [corpus[1][:5], corpus[6][:4]]
+        s = shard._split
+        idx = shard._index
+        t = shard.transform
+        fslots, fcnt, trows, tqids, tqcnt = shard._encode_split(queries)
+        tslots = sidx.map_tail_slots(tqids, s)
+        pid_sh, pw_sh, df_sh = shard._post_sh
+        k = 32
+        cap = sidx.sharded_candidate_cap(df_sh, tslots, k, pid_sh.shape[2])
+        out = sharded.sharded_retrieve_topk_split_sparse(
+            shard.mesh, s.dense_impact, s.dense_presence, pid_sh, pw_sh,
+            idx.doc_lengths, idx.avgdl, fslots, fcnt, trows, tslots,
+            tqcnt, k, cap, t.alpha, t.beta, t.base_rate,
+            n_docs=idx.n_docs, impact_lo=s.dense_impact_lo, local_k=8)
+        got = np.asarray(out[0])[:2]
+        ref_ids, _ = single.retrieve(queries, k=k)
+        # 8 shards x local_k 8 = 64 candidates for top-32. On this tiny
+        # corpus (50 docs/shard) winners concentrate per shard, so
+        # recall drops well below exact — the knob is a bandwidth trade
+        # whose loss shrinks as shards grow; here we pin only that it
+        # runs, returns valid ids, and recovers a nontrivial fraction.
+        assert got.shape == (2, k)
+        for row in range(2):
+            ref_set = set(ref_ids[row][ref_ids[row] >= 0].tolist())
+            got_set = set(got[row][got[row] >= 0].tolist())
+            if ref_set:
+                overlap = len(got_set & ref_set) / len(ref_set)
+                assert overlap >= 0.3, overlap
+                # every returned doc is at least a real candidate
+                assert got_set <= set(range(single.num_docs)) | {-1}
