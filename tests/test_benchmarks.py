@@ -258,3 +258,31 @@ class TestNoiseRegimeAttention:
         # and the regimes genuinely separate the signals: each single
         # signal does markedly worse than the attention fusion
         assert attn > res["BM25"]["ndcg@10"] + 0.02
+
+
+class TestMiniBeirFrozenScores:
+    """Frozen per-method NDCG@5 on the checked-in mini BEIR fixture
+    (VERDICT round-2 missing item 1): any divisor/seed/kernel change
+    that silently shifts a method's quality shows up here before real
+    BEIR data ever arrives. Regenerate tests/data/mini_beir_frozen.json
+    deliberately (same run_dataset call, x64 CPU) when a change is
+    intended, and record why in the commit message."""
+
+    def test_per_method_scores_frozen(self):
+        from benchmarks.hybrid_beir import run_dataset
+
+        frozen_path = os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "data", "mini_beir_frozen.json")
+        if not os.path.exists(frozen_path):
+            pytest.skip("frozen fixture missing")
+        with open(frozen_path) as f:
+            frozen = json.load(f)
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "benchmarks", "data", "mini_beir")
+        ds = load_beir_dataset(root)
+        res = run_dataset(ds, k=5, R=50, verbose=False)
+        assert set(res) >= set(frozen), set(frozen) - set(res)
+        for method, want in frozen.items():
+            got = res[method]["ndcg@5"]
+            assert got == pytest.approx(want, abs=1e-6), (
+                method, got, want)
