@@ -625,13 +625,27 @@ class BayesianBM25Scorer:
         identical values to per-batch ``retrieve``, at materially higher
         sustained throughput when calls arrive back-to-back.
         """
-        launched = []
+        chunk = self._auto_batch_size()
+        launched = []  # per batch: list of (chunk_nq, packed_device)
         for qb in query_batches:
-            nq, top_ids, probs, _, _ = self._retrieve_launch(
-                qb, k, approx, None)
-            launched.append((nq, scoring.pack_ids_probs(top_ids, probs)))
-        return [scoring.unpack_ids_probs(np.asarray(pk), nq)
-                for nq, pk in launched]
+            parts = ([qb] if len(qb) <= chunk else
+                     [qb[i:i + chunk] for i in range(0, len(qb), chunk)])
+            row = []
+            for part in parts:
+                pn, top_ids, probs, _, _ = self._retrieve_launch(
+                    part, k, approx, None)
+                row.append((pn, scoring.pack_ids_probs(top_ids, probs)))
+            launched.append(row)
+        out = []
+        for row in launched:
+            pieces = [scoring.unpack_ids_probs(np.asarray(pk), pn)
+                      for pn, pk in row]
+            if len(pieces) == 1:
+                out.append(pieces[0])
+            else:
+                out.append((np.concatenate([p[0] for p in pieces]),
+                            np.concatenate([p[1] for p in pieces])))
+        return out
 
     def _auto_batch_size(self) -> int:
         """Largest power-of-two query-chunk size whose (nq, D_pad) f32
