@@ -171,6 +171,32 @@ def count_above(scores, s_min):
     return jnp.sum((scores > 0) & (scores >= s_min), axis=1).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("k", "prior_free"))
+def thresholded_topk_from_scores(
+    scores, tfs, doc_lengths, avgdl, threshold: float, k: int,
+    alpha, beta, base_rate=None, *, prior_free: bool = False,
+):
+    """Dense thresholded retrieval from precomputed (scores, tfs): the
+    fallback when the WAND prefilter keeps too many candidates — reuses
+    the score pass instead of recomputing it (probabilities identical to
+    ``probabilities_all_split`` + ``thresholded_topk``: same elementwise
+    ops on the same inputs). Masked (-inf) scores yield probability 0."""
+    from bayesian_bm25_tpu.ops import transform as T
+
+    dlr = (doc_lengths / avgdl)[None, :]
+    probs = T.score_to_probability(scores, tfs, dlr, alpha, beta,
+                                   base_rate, prior_free=prior_free)
+    probs = jnp.where(scores > 0, probs.astype(scores.dtype), 0.0)
+    passing = (probs >= threshold) & (probs > 0.0)
+    n_passing = jnp.sum(passing, axis=1).astype(jnp.int32)
+    masked = jnp.where(passing, probs, -1.0)
+    top_p, top_ids = jax.lax.top_k(masked, k)
+    keep = top_p >= threshold
+    return (jnp.where(keep, top_ids, -1),
+            jnp.where(keep, top_p, 0.0),
+            n_passing)
+
+
 @partial(jax.jit, static_argnames=("k", "C", "prior_free"))
 def thresholded_topk_pruned(
     scores, tfs, doc_lengths, avgdl, threshold: float, s_min,

@@ -776,6 +776,21 @@ class BayesianBM25Scorer:
             raise RuntimeError("Call index() before retrieve_thresholded().")
         from bayesian_bm25_tpu.ops import transform as T
 
+        # The dense pass holds TWO (nq, D) f32 matrices (scores + tf)
+        # alongside the resident index; chunk oversized batches at a
+        # quarter of the retrieve budget so huge corpora can't OOM
+        # (results concatenate exactly per query).
+        chunk = max(self._auto_batch_size() // 4, 128)
+        if len(query_tokens) > chunk:
+            parts = [query_tokens[i:i + chunk]
+                     for i in range(0, len(query_tokens), chunk)]
+            outs = [self.retrieve_thresholded(p, threshold, k=k,
+                                              doc_mask=doc_mask)
+                    for p in parts]
+            return (np.concatenate([o[0] for o in outs]),
+                    np.concatenate([o[1] for o in outs]),
+                    np.concatenate([o[2] for o in outs]))
+
         nq = len(query_tokens)
         idx = self._index
         t = self._transform
@@ -805,19 +820,32 @@ class BayesianBM25Scorer:
             c_max = int(counts.max()) if counts.size else 0
             C = _pow2_bucket_int(max(c_max, k_eff), 16)
             # lax.top_k cost grows with k, so candidate selection only
-            # beats the dense scan while C stays small (the
-            # high-threshold serving regime); measured crossover on v5e
-            # puts the dense path ahead well before C ~ thousands.
-            if C <= max(512, 4 * k_eff) and C <= idx.n_docs // 2:
+            # beats finishing densely while C stays TINY: measured on
+            # v5e at 1M docs, C=256 candidate selection ran 1.5x slower
+            # than the dense finish (which shares the score pass and is
+            # one fused transform + top-k(10)). The certified bound's
+            # durable value is the exact candidate-set semantics; the
+            # fast path for everything else is the shared-scores dense
+            # finish below.
+            if C <= max(32, 2 * k_eff) and C <= idx.n_docs // 2:
                 ids, probs, n_passing = scoring.thresholded_topk_pruned(
                     scores_d, tfs_d, idx.doc_lengths[: idx.n_docs],
                     idx.avgdl, float(threshold), s_min, k_eff,
                     min(C, idx.n_docs), t.alpha, t.beta, t.base_rate,
                     prior_free=prior_free,
                 )
-                return (np.asarray(ids)[:nq],
-                        np.asarray(probs)[:nq].astype(np.float64),
-                        np.asarray(n_passing)[:nq].astype(int))
+            else:
+                # Too many survivors for candidate selection to win:
+                # finish densely — but REUSE the score/tf pass already
+                # computed rather than recomputing it.
+                ids, probs, n_passing = scoring.thresholded_topk_from_scores(
+                    scores_d, tfs_d, idx.doc_lengths[: idx.n_docs],
+                    idx.avgdl, float(threshold), k_eff,
+                    t.alpha, t.beta, t.base_rate, prior_free=prior_free,
+                )
+            return (np.asarray(ids)[:nq],
+                    np.asarray(probs)[:nq].astype(np.float64),
+                    np.asarray(n_passing)[:nq].astype(int))
 
         # Dense fallback: thresholds so low the prefilter keeps most of
         # the corpus (or prunes nothing) — one full probability scan.

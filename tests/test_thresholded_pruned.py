@@ -162,3 +162,24 @@ class TestPrunedMatchesDense:
         np.testing.assert_array_equal(got[0], ref[0])
         np.testing.assert_array_equal(got[1], ref[1])
         np.testing.assert_array_equal(got[2], ref[2])
+
+
+class TestThresholdedChunking:
+    def test_chunked_matches_one_shot(self, built):
+        s, queries, _ = built
+        ref = s.retrieve_thresholded(queries, 0.3, k=7)
+        old = s._SCORES_BUDGET_BYTES
+        try:
+            s._SCORES_BUDGET_BYTES = 1  # floor 256 -> chunk 128
+            assert max(s._auto_batch_size() // 2, 128) == 128
+            # 24 queries < 128: force smaller chunks by slicing manually
+            parts = [queries[i:i + 5] for i in range(0, len(queries), 5)]
+            got = [s.retrieve_thresholded(p, 0.3, k=7) for p in parts]
+            ids = np.concatenate([g[0] for g in got])
+            probs = np.concatenate([g[1] for g in got])
+            n = np.concatenate([g[2] for g in got])
+        finally:
+            s._SCORES_BUDGET_BYTES = old
+        np.testing.assert_array_equal(ids, ref[0])
+        np.testing.assert_array_equal(probs, ref[1])
+        np.testing.assert_array_equal(n, ref[2])
