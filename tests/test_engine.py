@@ -135,3 +135,70 @@ class TestEncodeQueries:
         m = {int(t): float(c) for t, c in zip(qids[0], qcnt[0]) if t >= 0}
         assert m[idx.vocab["fox"]] == 2.0
         assert m[idx.vocab["dog"]] == 1.0
+
+
+class TestPackedTransport:
+    """pack_ids_probs / unpack_ids_probs: the single-pull transport for
+    (ids, probabilities). Ids bitcast through f32 — including -1 dead
+    slots, whose bit pattern is a NaN payload that must survive the
+    round trip unchanged."""
+
+    def test_roundtrip_including_negative_ids(self):
+        import jax.numpy as jnp
+
+        from bayesian_bm25_tpu.engine import scoring
+        ids = jnp.asarray(np.array(
+            [[5, -1, 2_000_000_000, 0, -1], [1, 2, 3, 4, 5]], np.int32))
+        probs = jnp.asarray(np.array(
+            [[0.5, 0.0, 0.25, 1.0, 0.0], [0.1, 0.2, 0.3, 0.4, 0.5]],
+            np.float32))
+        packed = np.asarray(scoring.pack_ids_probs(ids, probs))
+        out_ids, out_probs = scoring.unpack_ids_probs(packed, 2)
+        np.testing.assert_array_equal(out_ids, np.asarray(ids))
+        np.testing.assert_array_equal(out_probs,
+                                      np.asarray(probs, np.float64))
+        assert out_probs.dtype == np.float64
+
+    def test_nq_slice(self):
+        import jax.numpy as jnp
+
+        from bayesian_bm25_tpu.engine import scoring
+        ids = jnp.zeros((4, 3), jnp.int32)
+        probs = jnp.ones((4, 3), jnp.float32)
+        packed = np.asarray(scoring.pack_ids_probs(ids, probs))
+        out_ids, out_probs = scoring.unpack_ids_probs(packed, 2)
+        assert out_ids.shape == (2, 3) and out_probs.shape == (2, 3)
+
+
+class TestExactTopkBlockwise:
+    """exact_topk_blockwise: tie-order-identical to lax.top_k (utility;
+    the proof lives in its docstring — these fuzz it, tie-heavy)."""
+
+    def test_fuzz_vs_lax_topk(self):
+        import jax
+        import jax.numpy as jnp
+
+        from bayesian_bm25_tpu.engine import split_index as sidx
+        rng = np.random.default_rng(0)
+        for trial in range(6):
+            nq = int(rng.integers(1, 9))
+            D = int(rng.integers(200, 3000))
+            k = int(rng.integers(1, 16))
+            # quantized values force heavy value ties
+            s = jnp.asarray(
+                rng.integers(0, 12, size=(nq, D)).astype(np.float32))
+            v1, i1 = jax.lax.top_k(s, k)
+            v2, i2 = sidx.exact_topk_blockwise(s, k, block=128)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_with_neg_inf_and_few_blocks(self):
+        import jax
+        import jax.numpy as jnp
+
+        from bayesian_bm25_tpu.engine import split_index as sidx
+        s = jnp.full((2, 300), -jnp.inf).at[0, 7].set(1.0)
+        v1, i1 = jax.lax.top_k(s, 5)
+        v2, i2 = sidx.exact_topk_blockwise(s, 5, block=128)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
