@@ -627,6 +627,13 @@ def print_results(name: str, results: dict, k: int) -> None:
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--download", nargs="*", default=None,
+                    metavar="DATASET",
+                    help="BEIR dataset names to download into --cache-dir "
+                         "and run (e.g. scifact nfcorpus); equivalent to "
+                         "--data-dir on the extracted directories")
+    ap.add_argument("--cache-dir", default="~/.cache/beir",
+                    help="download/extraction cache for --download")
     ap.add_argument("--data-dir", nargs="*", default=None,
                     help="BEIR-format dataset directories")
     ap.add_argument("--synthetic-docs", type=int, default=2000)
@@ -650,7 +657,12 @@ def main():
     args = ap.parse_args()
 
     datasets = []
-    if args.data_dir:
+    if args.download:
+        from benchmarks.beir_download import download_beir
+
+        dirs = [download_beir(n, args.cache_dir) for n in args.download]
+        datasets = [load_beir_dataset(p) for p in dirs]
+    elif args.data_dir:
         datasets = [load_beir_dataset(p) for p in args.data_dir]
     else:
         datasets = [synthetic_dataset(

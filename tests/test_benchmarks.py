@@ -286,3 +286,41 @@ class TestMiniBeirFrozenScores:
             got = res[method]["ndcg@5"]
             assert got == pytest.approx(want, abs=1e-6), (
                 method, got, want)
+
+
+class TestBeirDownloadStaging:
+    """--download path ready-to-fire: fetch (file:// here — no egress),
+    extract, locate the BEIR layout, idempotent cache. The day real
+    egress exists, the same code pulls from the public BEIR bucket."""
+
+    def test_download_extract_load(self, tmp_path):
+        import zipfile
+
+        from benchmarks.beir_download import download_beir
+
+        # build a BEIR-layout zip from the checked-in fixture
+        src_root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "benchmarks", "data", "mini_beir")
+        zpath = tmp_path / "minibeir.zip"
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for rel in ("corpus.jsonl", "queries.jsonl",
+                        os.path.join("qrels", "test.tsv")):
+                zf.write(os.path.join(src_root, rel),
+                         os.path.join("minibeir", rel))
+        cache = tmp_path / "cache"
+        url = "file://" + str(zpath).replace(os.sep, "/")
+        # base_url.format() with no {name} placeholder returns it as-is
+        root = download_beir("minibeir", str(cache), base_url=url)
+        ds = load_beir_dataset(root)
+        assert len(ds.corpus) == 300 and len(ds.queries) == 24
+        # idempotent: second call needs no source at all
+        os.remove(zpath)
+        root2 = download_beir("minibeir", str(cache), base_url="file:///gone/{name}.zip")
+        assert root2 == root
+
+    def test_missing_source_raises_helpfully(self, tmp_path):
+        from benchmarks.beir_download import download_beir
+
+        with pytest.raises(RuntimeError, match="no egress"):
+            download_beir("nope", str(tmp_path / "c"),
+                          base_url="file:///definitely/missing/{name}.zip")
