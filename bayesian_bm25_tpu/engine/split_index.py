@@ -666,7 +666,7 @@ def candidate_cap(split: SplitBM25Index, tail_slots: np.ndarray, k: int) -> int:
 
 def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
                   tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
-                  n_docs: int):
+                  n_docs: int, pallas_gather: bool = False):
     """Rare-postings candidate merge shared by the single-chip and
     per-shard sparse kernels: fold each tail query's rare-term postings
     into the k matmul leaders and return the merged
@@ -711,7 +711,14 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
     sv = sv[:, :cand_cap]
     stf = stf[:, :cand_cap]
 
-    sbase = scores[tail_rows[:, None], jnp.minimum(sid, D_pad - 1)]
+    if pallas_gather:
+        # One-hot MXU gather (engine/pallas_gather.py): bit-identical for
+        # valid ids, literal 0.0 for the D_pad sentinel (masked below
+        # either way). ~2.2x the XLA scalar gather on v5e.
+        from bayesian_bm25_tpu.engine.pallas_gather import row_gather
+        sbase = row_gather(scores, sid, tail_rows)
+    else:
+        sbase = scores[tail_rows[:, None], jnp.minimum(sid, D_pad - 1)]
 
     # Segment totals via shifted adds: a doc appears at most once per rare
     # query term plus once as a leader -> segment length <= Qt + 1. The
@@ -764,13 +771,13 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
 
 @partial(jax.jit,
          static_argnames=("k", "cand_cap", "n_docs", "prior_free", "approx",
-                          "precision"))
+                          "precision", "pallas_gather"))
 def retrieve_topk_split_sparse(
     dense_impact, dense_presence, post_ids, post_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
     approx: bool = False, precision=jax.lax.Precision.HIGHEST,
-    doc_mask=None, impact_lo=None,
+    doc_mask=None, impact_lo=None, pallas_gather: bool = False,
 ):
     """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
 
@@ -820,7 +827,8 @@ def retrieve_topk_split_sparse(
 
     out_ids, out_scores, out_tail_tf = _sparse_merge(
         scores, topm_scores, topm_ids, post_ids, post_w,
-        tail_rows, tail_slots, tail_qcnt, k, cand_cap, n_docs)
+        tail_rows, tail_slots, tail_qcnt, k, cand_cap, n_docs,
+        pallas_gather=pallas_gather and doc_mask is None)
 
     dead = ~jnp.isfinite(out_scores)
     out_scores = jnp.where(dead, 0.0, out_scores)

@@ -692,6 +692,10 @@ class BayesianBM25Scorer:
                 fslots, fcnt, trows, tqids, tqcnt = enc
                 tslots = sidx.map_tail_slots(tqids, s)
                 cap = sidx.candidate_cap(s, tslots, k_eff)
+                from bayesian_bm25_tpu.engine import pallas_gather as pg
+                use_pg = pg.eligible(
+                    s.dense_impact.shape[0], len(trows),
+                    masked=doc_mask is not None)
                 top_ids, probs, top_scores, top_tfs = (
                     sidx.retrieve_topk_split_sparse(
                         s.dense_impact, s.dense_presence, s.post_doc_ids,
@@ -703,6 +707,7 @@ class BayesianBM25Scorer:
                         prior_free=t._training_mode == "prior_free",
                         approx=approx, precision=self._matmul_precision,
                         doc_mask=doc_mask, impact_lo=s.dense_impact_lo,
+                        pallas_gather=use_pg,
                     )
                 )
             else:
