@@ -72,6 +72,11 @@ class SplitBM25Index:
     post_weights: jnp.ndarray = field(repr=False, default=None)
     # host: true postings length (df) per rare slot, for candidate sizing
     rare_df: np.ndarray = field(repr=False, default=None)
+    # host: True when every real rare-postings weight is > 0 (always for
+    # lucene/atire IDF; robertson can go negative on tiny corpora where
+    # df > N/2). Lets the sparse merge derive tf counts from the sign of
+    # the sorted contributions instead of co-sorting a third operand.
+    post_w_positive: bool = False
 
     @property
     def n_docs(self) -> int:
@@ -229,6 +234,7 @@ def build_split_index(
         post_doc_ids=None if post_ids is None else jnp.asarray(post_ids),
         post_weights=None if post_w is None else jnp.asarray(post_w),
         rare_df=rare_df,
+        post_w_positive=bool((flat_w > 0).all()) if len(flat_w) else True,
     )
 
 
@@ -593,14 +599,18 @@ def retrieve_topk_split(
         fslots, fcnt, tail_rows, tail_qids, tail_qcnt, overflow=overflow,
         precision=precision, impact_lo=impact_lo,
     )
-    scores = scores[:, :n_docs]
-    tfs = tfs[:, :n_docs]
+    D_pad = scores.shape[1]
     if doc_mask is not None:
-        scores = jnp.where(doc_mask[None, :n_docs], scores, -jnp.inf)
+        mask_pad = jnp.concatenate(
+            [doc_mask[:n_docs], jnp.ones((D_pad - n_docs,), bool)])
+        scores = jnp.where(mask_pad[None, :], scores, -jnp.inf)
     if approx:
-        top_scores, top_ids = jax.lax.approx_max_k(scores, k)
+        top_scores, top_ids = jax.lax.approx_max_k(scores[:, :n_docs], k)
     else:
-        top_scores, top_ids = jax.lax.top_k(scores, k)
+        # Full-width blockwise selection: pad docs are iota-masked, so
+        # the (nq, D) slice copies of scores/tfs disappear.
+        top_scores, top_ids = exact_topk_blockwise(
+            scores, k, block=256, valid_upto=n_docs)
     dead = ~jnp.isfinite(top_scores)
     top_scores = jnp.where(dead, 0.0, top_scores)
     top_ids = jnp.where(dead, -1, top_ids)
@@ -614,8 +624,9 @@ def retrieve_topk_split(
     return top_ids, probs, top_scores, top_tfs
 
 
-@partial(jax.jit, static_argnames=("k", "block"))
-def exact_topk_blockwise(scores, k: int, block: int = 128):
+@partial(jax.jit, static_argnames=("k", "block", "valid_upto"))
+def exact_topk_blockwise(scores, k: int, block: int = 128,
+                         valid_upto: int | None = None):
     """Exact top-k over the document axis, tie-order-identical to
     ``lax.top_k``, at a fraction of its cost for large D.
 
@@ -623,6 +634,11 @@ def exact_topk_blockwise(scores, k: int, block: int = 128):
     k=10 on v5e); this computes per-block maxima (one memory pass),
     selects the top-k BLOCKS, and runs the full top-k only on those
     blocks' k*block values.
+
+    ``valid_upto`` restricts selection to columns < valid_upto via an
+    iota mask instead of a slice — on a padded score matrix this skips
+    the (nq, D) slice copy entirely (19.6 ms vs 32.9 ms end-to-end for
+    (8192, 51200) at k=10, block 256, v5e); requires D % block == 0.
 
     Exactness: every top-k document lies in a top-k block. If doc d's
     block b ranked below k by (max desc, id asc), then >= k blocks sort
@@ -638,11 +654,21 @@ def exact_topk_blockwise(scores, k: int, block: int = 128):
     nq, D = scores.shape
     G = -(-D // block)
     if k >= G:  # few blocks: the prefilter would keep everything
+        if valid_upto is not None and valid_upto < D:
+            return jax.lax.top_k(scores[:, :valid_upto], k)
         return jax.lax.top_k(scores, k)
-    pad = G * block - D
-    padded = jnp.pad(scores, ((0, 0), (0, pad)),
-                     constant_values=-jnp.inf) if pad else scores
-    tiles = padded.reshape(nq, G, block)
+    if valid_upto is not None:
+        if D % block:
+            raise ValueError("valid_upto requires D % block == 0")
+        tiles = scores.reshape(nq, G, block)
+        col = (jax.lax.broadcasted_iota(jnp.int32, (G, block), 0) * block
+               + jax.lax.broadcasted_iota(jnp.int32, (G, block), 1))
+        tiles = jnp.where((col < valid_upto)[None], tiles, -jnp.inf)
+    else:
+        pad = G * block - D
+        padded = jnp.pad(scores, ((0, 0), (0, pad)),
+                         constant_values=-jnp.inf) if pad else scores
+        tiles = padded.reshape(nq, G, block)
     bmax = tiles.max(axis=2)
     _, bids = jax.lax.top_k(bmax, k)            # ties -> lower block id
     bids = jnp.sort(bids, axis=1)               # id-ascending candidates
@@ -666,7 +692,8 @@ def candidate_cap(split: SplitBM25Index, tail_slots: np.ndarray, k: int) -> int:
 
 def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
                   tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
-                  n_docs: int, pallas_gather: bool = False):
+                  n_docs: int, pallas_gather: bool = False,
+                  tf_from_sign: bool = False):
     """Rare-postings candidate merge shared by the single-chip and
     per-shard sparse kernels: fold each tail query's rare-term postings
     into the k matmul leaders and return the merged
@@ -693,9 +720,6 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
         [topm_ids[tail_rows], pid.reshape(nt, -1)], axis=1)
     cand_v = jnp.concatenate(
         [jnp.zeros((nt, k), jnp.float32), v.reshape(nt, -1)], axis=1)
-    cand_tf = jnp.concatenate(
-        [jnp.zeros((nt, k), jnp.float32),
-         pvalid.astype(jnp.float32).reshape(nt, -1)], axis=1)
 
     # Stable id-sort groups duplicate docs (leaders already < n_docs and
     # invalid postings slots carry the D_pad sentinel, so the id itself is
@@ -703,13 +727,28 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
     # and j-ascending postings order is kept, so summation order matches
     # the dense kernel's fori_loop exactly. One multi-operand lax.sort
     # co-sorts the payloads (argsort + take_along_axis would re-gather).
-    sid, sv, stf = jax.lax.sort(
-        (cand_ids, cand_v, cand_tf), dimension=1, is_stable=True, num_keys=1)
-    # Valid candidates sort to the front; slice to the host-computed cap
-    # (k + max postings in this batch) before the expensive stages.
-    sid = sid[:, :cand_cap]
-    sv = sv[:, :cand_cap]
-    stf = stf[:, :cand_cap]
+    # When every real posting weight is positive (tf_from_sign), the tf
+    # payload is sign-derivable (v = qcnt * w > 0 iff a valid posting;
+    # leaders and pad slots carry v = 0), and dropping the third sort
+    # operand saves ~4 ms per 8192-query batch on v5e.
+    if tf_from_sign:
+        sid, sv = jax.lax.sort(
+            (cand_ids, cand_v), dimension=1, is_stable=True, num_keys=1)
+        sid = sid[:, :cand_cap]
+        sv = sv[:, :cand_cap]
+        stf = (sv > 0).astype(jnp.float32)
+    else:
+        cand_tf = jnp.concatenate(
+            [jnp.zeros((nt, k), jnp.float32),
+             pvalid.astype(jnp.float32).reshape(nt, -1)], axis=1)
+        sid, sv, stf = jax.lax.sort(
+            (cand_ids, cand_v, cand_tf), dimension=1, is_stable=True,
+            num_keys=1)
+        # Valid candidates sort to the front; slice to the host-computed
+        # cap (k + max postings in this batch) before the later stages.
+        sid = sid[:, :cand_cap]
+        sv = sv[:, :cand_cap]
+        stf = stf[:, :cand_cap]
 
     if pallas_gather:
         # One-hot MXU gather (engine/pallas_gather.py): bit-identical for
@@ -771,13 +810,14 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
 
 @partial(jax.jit,
          static_argnames=("k", "cand_cap", "n_docs", "prior_free", "approx",
-                          "precision", "pallas_gather"))
+                          "precision", "pallas_gather", "tf_from_sign"))
 def retrieve_topk_split_sparse(
     dense_impact, dense_presence, post_ids, post_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
     approx: bool = False, precision=jax.lax.Precision.HIGHEST,
     doc_mask=None, impact_lo=None, pallas_gather: bool = False,
+    tf_from_sign: bool = False,
 ):
     """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
 
@@ -819,16 +859,19 @@ def retrieve_topk_split_sparse(
             [doc_mask[:n_docs],
              jnp.ones((dense_impact.shape[0] - n_docs,), bool)])
         scores = jnp.where(mask_pad[None, :], scores, -jnp.inf)
-    scores_nd = scores[:, :n_docs]
     if approx:
-        topm_scores, topm_ids = jax.lax.approx_max_k(scores_nd, k)
+        topm_scores, topm_ids = jax.lax.approx_max_k(scores[:, :n_docs], k)
     else:
-        topm_scores, topm_ids = jax.lax.top_k(scores_nd, k)
+        # Blockwise leader selection on the full padded width: no slice
+        # copy, exact incl. tie order (iota mask handles pad docs).
+        topm_scores, topm_ids = exact_topk_blockwise(
+            scores, k, block=256, valid_upto=n_docs)
 
     out_ids, out_scores, out_tail_tf = _sparse_merge(
         scores, topm_scores, topm_ids, post_ids, post_w,
         tail_rows, tail_slots, tail_qcnt, k, cand_cap, n_docs,
-        pallas_gather=pallas_gather and doc_mask is None)
+        pallas_gather=pallas_gather and doc_mask is None,
+        tf_from_sign=tf_from_sign)
 
     dead = ~jnp.isfinite(out_scores)
     out_scores = jnp.where(dead, 0.0, out_scores)

@@ -708,6 +708,7 @@ class BayesianBM25Scorer:
                         approx=approx, precision=self._matmul_precision,
                         doc_mask=doc_mask, impact_lo=s.dense_impact_lo,
                         pallas_gather=use_pg,
+                        tf_from_sign=s.post_w_positive,
                     )
                 )
             else:

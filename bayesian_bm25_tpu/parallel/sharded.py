@@ -375,7 +375,8 @@ def sharded_retrieve_topk_split_sparse(
         k: int, cand_cap: int, alpha, beta, base_rate=None,
         n_docs: int | None = None, prior_free: bool = False,
         approx: bool = False, precision=jax.lax.Precision.HIGHEST,
-        doc_mask=None, impact_lo=None, local_k: int | None = None):
+        doc_mask=None, impact_lo=None, local_k: int | None = None,
+        tf_from_sign: bool = False):
     """Distributed sparse-candidate exact top-k (the fastest single-chip
     kernel, doc-sharded): per shard, one MXU matmul + local leader
     selection + rare-postings merge against the SHARD-LOCAL postings
@@ -411,7 +412,7 @@ def sharded_retrieve_topk_split_sparse(
     lk = min(local_k or k, k)
     body = _sparse_retrieve_body(
         mesh, k, lk, cand_cap, n_real, bool(prior_free), bool(approx),
-        precision, base_rate is not None)
+        precision, base_rate is not None, bool(tf_from_sign))
 
     # Sharded validity mask: real docs pass their doc_mask bit; global
     # pad docs always drop.
@@ -436,7 +437,8 @@ def sharded_retrieve_topk_split_sparse(
 
 @functools.lru_cache(maxsize=None)
 def _sparse_retrieve_body(mesh, k, lk, cand_cap, n_real, prior_free,
-                          approx, precision, has_base_rate):
+                          approx, precision, has_base_rate,
+                          tf_from_sign=False):
     """Compiled per-shard sparse retrieve, cached on the static config
     (mesh + shape/selection parameters). Scalars are operands."""
     from bayesian_bm25_tpu.engine.split_index import (
@@ -471,7 +473,7 @@ def _sparse_retrieve_body(mesh, k, lk, cand_cap, n_real, prior_free,
             topm_s, topm_i = jax.lax.top_k(scores, lk)
         out_ids, out_scores, out_tail_tf = _sparse_merge(
             scores, topm_s, topm_i, pid, pw, trow, tsl, tqc, lk,
-            cand_cap, D_local)
+            cand_cap, D_local, tf_from_sign=tf_from_sign)
 
         safe = jnp.maximum(out_ids, 0)
         pres_rows = pres[safe]  # (nq, k, K)

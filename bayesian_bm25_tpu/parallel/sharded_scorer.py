@@ -225,6 +225,7 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                     n_docs=idx.n_docs, prior_free=prior_free,
                     approx=approx, precision=self._matmul_precision,
                     doc_mask=doc_mask, impact_lo=s.dense_impact_lo,
+                    tf_from_sign=s.post_w_positive,
                 )
             )
         elif self._split is not None:

@@ -140,3 +140,63 @@ class TestOverflowTail:
         split = sidx.build_split_index(idx, n_frequent=128,
                                        enable_overflow=False)
         assert split.over_term_ids is None
+
+
+class TestTfFromSign:
+    """The sign-derived tf payload (two-operand merge sort) must be a
+    pure perf transform: bit-identical retrieval when all posting
+    weights are positive, and build_split_index must only set the flag
+    in that case."""
+
+    def _sparse_args(self, idx, split, queries, k=7):
+        import jax.numpy as jnp
+
+        enc = sidx.encode_queries_split(queries, split)
+        fslots, fcnt, trows, tqids, tqcnt = enc
+        tslots = sidx.map_tail_slots(tqids, split)
+        cap = sidx.candidate_cap(split, tslots, k)
+        common = (split.dense_impact, split.dense_presence,
+                  split.post_doc_ids, split.post_weights,
+                  idx.doc_lengths, idx.avgdl,
+                  jnp.asarray(fslots), jnp.asarray(fcnt),
+                  jnp.asarray(trows), jnp.asarray(tslots),
+                  jnp.asarray(tqcnt), k, cap, 1.0, 2.0, 0.05)
+        return common, dict(n_docs=idx.n_docs,
+                            impact_lo=split.dense_impact_lo)
+
+    def test_flag_set_on_positive_weights(self, setup):
+        idx, _ = setup
+        split = sidx.build_split_index(idx, n_frequent=256)
+        if split.post_doc_ids is None:
+            pytest.skip("no rare postings")
+        assert split.post_w_positive is True
+
+    def test_bit_identical_on_and_off(self, setup):
+        idx, queries = setup
+        split = sidx.build_split_index(idx, n_frequent=256)
+        if split.post_doc_ids is None:
+            pytest.skip("no rare postings")
+        common, kw = self._sparse_args(idx, split, queries)
+        out0 = sidx.retrieve_topk_split_sparse(
+            *common, **kw, tf_from_sign=False)
+        out1 = sidx.retrieve_topk_split_sparse(
+            *common, **kw, tf_from_sign=True)
+        for a, b in zip(out0, out1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_zero_weight_corpus_disables_flag(self):
+        """Robertson IDF floors at 0 for df > N/2; a zero-weight rare
+        posting is sign-invisible, so the builder must keep the explicit
+        tf sort operand in that case."""
+        corpus = [["c1"] + (["c2"] if i < 6 else []) + [f"u{i}"]
+                  for i in range(8)]
+        idx = eidx.build_index(corpus, method="robertson",
+                               doc_pad_multiple=8, pad_multiple=8)
+        split = sidx.build_split_index(idx, n_frequent=1)
+        if split.post_doc_ids is None:
+            pytest.skip("no rare postings")
+        pw = np.asarray(split.post_weights)
+        real = pw[np.asarray(split.post_doc_ids) < idx.n_docs]
+        if (real > 0).all():
+            pytest.skip("zero-weight term not in rare postings")
+        assert split.post_w_positive is False
