@@ -657,25 +657,39 @@ def exact_topk_blockwise(scores, k: int, block: int = 128,
         if valid_upto is not None and valid_upto < D:
             return jax.lax.top_k(scores[:, :valid_upto], k)
         return jax.lax.top_k(scores, k)
+    mask_cands = False
     if valid_upto is not None:
         if D % block:
             raise ValueError("valid_upto requires D % block == 0")
+        from bayesian_bm25_tpu.engine import pallas_reduce as pr
+
         tiles = scores.reshape(nq, G, block)
-        col = (jax.lax.broadcasted_iota(jnp.int32, (G, block), 0) * block
-               + jax.lax.broadcasted_iota(jnp.int32, (G, block), 1))
-        tiles = jnp.where((col < valid_upto)[None], tiles, -jnp.inf)
+        if pr.eligible(nq, D, block):
+            # Pallas stripe reduce (~2.2x the XLA reshape-max) with the
+            # validity mask applied in-register; candidate values are
+            # re-masked at gather time below (tiles stay raw).
+            bmax = pr.block_max(scores, block, valid_upto=valid_upto)
+            mask_cands = True
+        else:
+            col = (jax.lax.broadcasted_iota(jnp.int32, (G, block), 0)
+                   * block
+                   + jax.lax.broadcasted_iota(jnp.int32, (G, block), 1))
+            tiles = jnp.where((col < valid_upto)[None], tiles, -jnp.inf)
+            bmax = tiles.max(axis=2)
     else:
         pad = G * block - D
         padded = jnp.pad(scores, ((0, 0), (0, pad)),
                          constant_values=-jnp.inf) if pad else scores
         tiles = padded.reshape(nq, G, block)
-    bmax = tiles.max(axis=2)
+        bmax = tiles.max(axis=2)
     _, bids = jax.lax.top_k(bmax, k)            # ties -> lower block id
     bids = jnp.sort(bids, axis=1)               # id-ascending candidates
     rows = jnp.arange(nq)[:, None]
     cand = tiles[rows, bids].reshape(nq, k * block)
     cand_ids = (bids[:, :, None] * block
                 + jnp.arange(block)[None, None, :]).reshape(nq, k * block)
+    if mask_cands:
+        cand = jnp.where(cand_ids < valid_upto, cand, -jnp.inf)
     v, p = jax.lax.top_k(cand, k)
     return v, jnp.take_along_axis(cand_ids, p, axis=1)
 
