@@ -90,6 +90,21 @@ class _EncodeResult(ctypes.Structure):
     ]
 
 
+class _SplitEncodeResult(ctypes.Structure):
+    _fields_ = [
+        ("fslots", ctypes.POINTER(ctypes.c_int32)),
+        ("fcnt", ctypes.POINTER(ctypes.c_float)),
+        ("trows", ctypes.POINTER(ctypes.c_int32)),
+        ("qids", ctypes.POINTER(ctypes.c_int32)),
+        ("qcnt", ctypes.POINTER(ctypes.c_float)),
+        ("nq", ctypes.c_int64),
+        ("Qf", ctypes.c_int64),
+        ("nt", ctypes.c_int64),
+        ("Qt", ctypes.c_int64),
+        ("has_pairs", ctypes.c_int32),
+    ]
+
+
 class _JsonlResult(ctypes.Structure):
     _fields_ = [
         ("id_blob", ctypes.POINTER(ctypes.c_char)),
@@ -151,6 +166,17 @@ def _load():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
             lib.bb25_free_encode.argtypes = [ctypes.POINTER(_EncodeResult)]
+            lib.bb25_encode_tokens_split.restype = ctypes.POINTER(
+                _SplitEncodeResult)
+            lib.bb25_encode_tokens_split.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32,
+            ]
+            lib.bb25_free_encode_split.argtypes = [
+                ctypes.POINTER(_SplitEncodeResult)]
             lib.bb25_load_jsonl.restype = ctypes.POINTER(_JsonlResult)
             lib.bb25_load_jsonl.argtypes = [ctypes.c_char_p]
             lib.bb25_free_jsonl.argtypes = [ctypes.POINTER(_JsonlResult)]
@@ -381,6 +407,50 @@ class VocabEncoder:
             len(query_tokens),
             _encode_threads() if n_tokens >= 4096 else 1)
         return _unpack_pairs(self._lib, res)
+
+    def encode_tokens_split(self, query_tokens: list, slot_of, K: int,
+                            query_pad: int, freq_pad: int, tail_pad: int,
+                            nt_min: int):
+        """Pre-tokenized queries -> the PADDED split-encode arrays
+        (fslots, fcnt, trows, qids, qcnt) in one native pass — lookup,
+        dedup, frequency partition, and group-by all happen in C++
+        (engine/split_index.py:encode_queries_split is the numpy twin
+        and the semantics contract). Returns None when the token blob
+        can't be represented (non-ASCII or embedded NUL) or when no
+        token is in vocabulary (callers produce the empty-batch block).
+        ``slot_of`` must be an int32 array over the vocabulary."""
+        qc = np.fromiter(map(len, query_tokens), np.int64,
+                         len(query_tokens))
+        n_tokens = int(qc.sum())
+        if n_tokens == 0:
+            return None
+        joined = "\x00".join(_chain.from_iterable(query_tokens))
+        try:
+            blob = joined.encode("utf-8")
+        except UnicodeEncodeError:
+            return None
+        if (len(blob) != len(joined)
+                or joined.count("\x00") != n_tokens - 1):
+            return None
+        res = self._lib.bb25_encode_tokens_split(
+            self._h, blob, len(blob),
+            qc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(query_tokens),
+            slot_of.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            K, query_pad, freq_pad, tail_pad, nt_min)
+        try:
+            r = res.contents
+            if not r.has_pairs:
+                return None
+            nq, Qf, nt, Qt = int(r.nq), int(r.Qf), int(r.nt), int(r.Qt)
+            fslots = np.array(np.ctypeslib.as_array(r.fslots, (nq, Qf)))
+            fcnt = np.array(np.ctypeslib.as_array(r.fcnt, (nq, Qf)))
+            trows = np.array(np.ctypeslib.as_array(r.trows, (nt,)))
+            qids = np.array(np.ctypeslib.as_array(r.qids, (nt, Qt)))
+            qcnt = np.array(np.ctypeslib.as_array(r.qcnt, (nt, Qt)))
+            return fslots, fcnt, trows, qids, qcnt
+        finally:
+            self._lib.bb25_free_encode_split(res)
 
     def encode_texts(self, texts: list[str], *, lowercase=True,
                      remove_stopwords=True, stem=True):

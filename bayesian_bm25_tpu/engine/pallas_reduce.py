@@ -46,11 +46,24 @@ def _stripe_rows(nq: int, d: int) -> int:
     return 0
 
 
+# Column-chunk width of the 2-D grid variant (large D): one (128, _CD)
+# f32 block is 1 MB — fits VMEM at any corpus size.
+_CD = 2048
+
+
+def _grid2d_ok(nq: int, d: int, block: int) -> bool:
+    """The 2-D (row-block, column-chunk) variant with transposed output:
+    blocks (128, _CD) in, (_CD//block, 128) out — both satisfy the
+    (8, 128) divisibility rule for any block in {128, 256}."""
+    return (nq % 128 == 0 and d % _CD == 0 and _CD % block == 0
+            and (_CD // block) % 8 == 0)
+
+
 def eligible(nq: int, d: int, block: int) -> bool:
-    """True when the Pallas stripe reduce is usable for this shape."""
+    """True when a Pallas reduce variant is usable for this shape."""
     if block % _LANES != 0 or d % block != 0:
         return False
-    return _stripe_rows(nq, d) > 0
+    return _stripe_rows(nq, d) > 0 or _grid2d_ok(nq, d, block)
 
 
 def _bmax_kernel(x_ref, o_ref, *, block: int, valid_upto: int | None):
@@ -68,25 +81,56 @@ def _bmax_kernel(x_ref, o_ref, *, block: int, valid_upto: int | None):
     o_ref[...] = m
 
 
+def _bmax2d_kernel(x_ref, o_ref, *, block: int, valid_upto: int | None):
+    x = x_ref[...]                                    # (128, _CD) f32
+    rq, cd = x.shape
+    if valid_upto is not None:
+        j = pl.program_id(1)
+        col = (j * cd
+               + jax.lax.broadcasted_iota(jnp.int32, (rq, cd), 1))
+        x = jnp.where(col < valid_upto, x, -jnp.inf)
+    m = x.reshape(rq, cd // block, block).max(axis=2)  # (128, CDG)
+    o_ref[...] = m.T                                   # (CDG, 128)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block", "valid_upto", "interpret"))
 def _block_max_call(scores, *, block: int, valid_upto, interpret: bool):
     nq, d = scores.shape
     g = d // block
-    gp = -(-g // _LANES) * _LANES
     rq = _stripe_rows(nq, d)
+    if rq:
+        gp = -(-g // _LANES) * _LANES
+        out = pl.pallas_call(
+            functools.partial(_bmax_kernel, block=block,
+                              valid_upto=valid_upto),
+            grid=(nq // rq,),
+            in_specs=[pl.BlockSpec((rq, d), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((rq, gp), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((nq, gp), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=nq * d, bytes_accessed=nq * d * 4 + nq * gp * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(scores)
+        return out[:, :g]
+    # Large D: 2-D grid over (row blocks, column chunks), transposed
+    # (G, nq) output so both block shapes satisfy the (8, 128) rule;
+    # the final (small) transpose is XLA's.
+    cdg = _CD // block
     out = pl.pallas_call(
-        functools.partial(_bmax_kernel, block=block, valid_upto=valid_upto),
-        grid=(nq // rq,),
-        in_specs=[pl.BlockSpec((rq, d), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((rq, gp), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((nq, gp), jnp.float32),
+        functools.partial(_bmax2d_kernel, block=block,
+                          valid_upto=valid_upto),
+        grid=(nq // 128, d // _CD),
+        in_specs=[pl.BlockSpec((128, _CD), lambda i, j: (i, j))],
+        out_specs=pl.BlockSpec((cdg, 128), lambda i, j: (j, i)),
+        out_shape=jax.ShapeDtypeStruct((g, nq), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=nq * d, bytes_accessed=nq * d * 4 + nq * gp * 4,
+            flops=nq * d, bytes_accessed=nq * d * 4 + nq * g * 4,
             transcendentals=0),
         interpret=interpret,
     )(scores)
-    return out[:, :g]
+    return out.T
 
 
 def block_max(scores, block: int, valid_upto: int | None = None):

@@ -377,10 +377,28 @@ def encode_queries_split(
     slot_of = split.freq_slot_of_term
     nq = len(query_tokens)
 
+    # Fastest path: ONE C++ pass straight to the padded arrays (lookup,
+    # dedup, frequency partition, group-by — engine/native.py:
+    # encode_tokens_split). The numpy group-by below is the semantics
+    # contract and the fallback (no toolchain / non-ASCII tokens).
+    nenc = eidx.get_native_encoder(split.base)
+    if nenc is not None:
+        cached = getattr(split, "_slot_of_i32", None)
+        if cached is None:
+            cached = np.ascontiguousarray(slot_of, dtype=np.int32)
+            try:
+                object.__setattr__(split, "_slot_of_i32", cached)
+            except AttributeError:
+                pass
+        out = nenc.encode_tokens_split(
+            query_tokens, cached, K, eidx.QUERY_PAD,
+            freq_pad_multiple, tail_pad_multiple, 16)
+        if out is not None:
+            return out
+
     # One C++ pass when the native encoder is built (engine/native.py:
     # VocabEncoder); otherwise one dict lookup per token + np.unique dedup.
-    pairs = eidx.query_term_pairs(
-        query_tokens, vocab, eidx.get_native_encoder(split.base))
+    pairs = eidx.query_term_pairs(query_tokens, vocab, nenc)
     if pairs is None:
         Qf = _round_up(1, freq_pad_multiple)
         Qt = _round_up(1, tail_pad_multiple)

@@ -636,10 +636,28 @@ class BayesianBM25Scorer:
                     part, k, approx, None)
                 row.append((pn, scoring.pack_ids_probs(top_ids, probs)))
             launched.append(row)
-        out = []
+        # ONE device->host pull for the whole call: tunnel transfers are
+        # latency-dominated (~30 ms each regardless of size), so pulling
+        # each batch's packed output separately costs n_batches x that.
+        # Device-concatenate the packed (2, nq_pad, k) arrays along the
+        # query axis and slice host-side.
+        flat = [pair for row in launched for pair in row]
+        if len(flat) > 1:
+            big = np.asarray(
+                jnp.concatenate([pk for _, pk in flat], axis=1))
+            pieces_flat, off = [], 0
+            for pn, pk in flat:
+                w = pk.shape[1]
+                pieces_flat.append(
+                    scoring.unpack_ids_probs(big[:, off:off + w], pn))
+                off += w
+        else:
+            pieces_flat = [scoring.unpack_ids_probs(np.asarray(pk), pn)
+                           for pn, pk in flat]
+        out, pos = [], 0
         for row in launched:
-            pieces = [scoring.unpack_ids_probs(np.asarray(pk), pn)
-                      for pn, pk in row]
+            pieces = pieces_flat[pos:pos + len(row)]
+            pos += len(row)
             if len(pieces) == 1:
                 out.append(pieces[0])
             else:

@@ -205,3 +205,68 @@ class TestNativeCorpusBuilder:
                                       np.asarray(i2.weights))
         np.testing.assert_array_equal(np.asarray(i1.doc_lengths),
                                       np.asarray(i2.doc_lengths))
+
+
+class TestSplitEncodeNative:
+    """encode_tokens_split must be bit-identical to the numpy group-by
+    in engine/split_index.py:encode_queries_split (shapes, dtypes,
+    padding, row order) and fall back for unrepresentable tokens."""
+
+    @pytest.fixture(scope="class")
+    def split_built(self, built):
+        from bayesian_bm25_tpu.engine import split_index as sidx
+        idx, enc = built
+        split = sidx.build_split_index(idx, n_frequent=256)
+        return split, enc
+
+    def _numpy_path(self, queries, split):
+        from bayesian_bm25_tpu.engine import split_index as sidx
+        orig = eidx.get_native_encoder
+        eidx.get_native_encoder = lambda base: None
+        try:
+            return sidx.encode_queries_split(queries, split)
+        finally:
+            eidx.get_native_encoder = orig
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_batch_parity(self, split_built, seed):
+        from bayesian_bm25_tpu.engine import split_index as sidx
+        split, _ = split_built
+        rng = np.random.default_rng(seed)
+        queries = [[f"t{t}" for t in rng.zipf(1.4, size=6) % 2500]
+                   for _ in range(97)]
+        fast = sidx.encode_queries_split(queries, split)
+        slow = self._numpy_path(queries, split)
+        for name, a, b in zip("fslots fcnt trows qids qcnt".split(),
+                              fast, slow):
+            assert a.dtype == b.dtype, name
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+
+    def test_edge_batches(self, split_built):
+        from bayesian_bm25_tpu.engine import split_index as sidx
+        split, _ = split_built
+        for queries in (
+            [[], ["zzz-oov"], ["t1"], ["t1", "t1", "t5", "zzz"]],
+            [["zzz"], ["yyy"]],          # all OOV
+            [["t1", "t2", "t3"]],        # single query
+            [[]] * 4,                     # all empty
+        ):
+            fast = sidx.encode_queries_split(queries, split)
+            slow = self._numpy_path(queries, split)
+            for name, a, b in zip("fslots fcnt trows qids qcnt".split(),
+                                  fast, slow):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=name)
+
+    def test_non_ascii_falls_back(self, split_built):
+        from bayesian_bm25_tpu.engine import split_index as sidx
+        split, enc = split_built
+        slot = np.ascontiguousarray(split.freq_slot_of_term, np.int32)
+        assert enc.encode_tokens_split(
+            [["café"]], slot, split.n_frequent, -2, 8, 4, 16) is None
+        # the public entry still works via the fallback path
+        out = sidx.encode_queries_split([["café", "t1"]], split)
+        slow = self._numpy_path([["café", "t1"]], split)
+        for a, b in zip(out, slow):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -86,3 +86,34 @@ class TestBlockwiseTopkPallasPath:
         rv, ri = jax.lax.top_k(s[:, :1000], 4)
         np.testing.assert_array_equal(np.asarray(bi), np.asarray(ri))
         np.testing.assert_array_equal(np.asarray(bv), np.asarray(rv))
+
+
+class TestBlockMax2DGrid:
+    """Large-D shapes route to the 2-D (row-block, column-chunk) grid
+    variant with transposed output; parity must hold there too."""
+
+    def test_routes_to_2d(self):
+        nq, d, b = 128, 1 << 19, 256
+        assert pr._stripe_rows(nq, d) == 0
+        assert pr._grid2d_ok(nq, d, b)
+        assert pr.eligible(nq, d, b)
+
+    def test_parity_with_mask(self):
+        rng = np.random.default_rng(9)
+        nq, d, b = 128, 1 << 19, 256
+        s = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+        vu = d - 777
+        masked = jnp.where(jnp.arange(d)[None] < vu, s, -jnp.inf)
+        ref = masked.reshape(nq, d // b, b).max(axis=2)
+        out = pr.block_max(s, b, valid_upto=vu)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_topk_through_blockwise(self):
+        rng = np.random.default_rng(10)
+        nq, d, b = 128, 1 << 19, 256
+        s = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+        vu = d - 100
+        rv, ri = jax.lax.top_k(s[:, :vu], 4)
+        bv, bi = sidx.exact_topk_blockwise(s, 4, block=b, valid_upto=vu)
+        np.testing.assert_array_equal(np.asarray(bv), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(ri))
