@@ -39,6 +39,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Rank-packed candidate build for the sparse merge (see
+# compact_tail_postings). Module flag so benchmarks can A/B the scorer
+# path; packed engages only when it actually narrows the layout.
+PACKED_BUILD = True
+
+
 @dataclass
 class SplitBM25Index:
     """Frequency-split device index built from a BM25Index."""
@@ -356,6 +362,53 @@ def _pow2_bucket(n: int, minimum: int) -> int:
     return b
 
 
+def compact_tail_postings(tail_slots: np.ndarray, tail_qcnt: np.ndarray,
+                          R: int):
+    """Host-side rank-packing of the (nt, Qt) tail-slot grid for the
+    gather+scatter candidate build.
+
+    Only ~1/6 of grid cells hold a real rare term in the reference
+    regime (Qt is the batch-max rare-term count; most tail queries have
+    1-2), so the dense ``post_ids[tail_slots]`` gather fetches the
+    sentinel postings row for most cells AND every downstream merge
+    stage (id sort, shifted-add segment sums, candidate top-k) runs at
+    the padded k + Qt*P width. The packed build instead gathers only
+    the ``nr`` real postings rows and scatters them into a
+    (nt, r_max, P) layout, where r_max is the batch-max number of real
+    rare terms per row — the merge then runs at k + r_max*P width and
+    r_max+1 segment shifts. Each row's real terms keep their query-slot
+    order, so the stable id-sort sees the same per-doc payload sequence
+    and every sum stays bit-equal to the dense build.
+
+    Returns (packed (3, nr) int32, r_max): rows are flat_slots,
+    flat_dest, and flat_qcnt BITCAST to int32 — one stacked array means
+    one host->device transfer per batch (link latency, not bandwidth,
+    dominates small transfers through an interconnect tunnel).
+    ``flat_dest`` indexes the flattened (nt*r_max,) row space. nr and
+    r_max are power-of-2 bucketed (pads: slot R -> sentinel row, dest
+    nt*r_max -> trash row, qcnt 0) so compile shapes stay bounded."""
+    ts = np.asarray(tail_slots)
+    qc = np.asarray(tail_qcnt)
+    nt, Qt = ts.shape
+    real = ts < R
+    rows, js = np.nonzero(real)            # row-major: j ascending per row
+    counts = real.sum(axis=1)
+    r_max = _pow2_bucket(max(int(counts.max()) if nt else 1, 1), 1)
+    r_max = min(r_max, Qt)
+    # rank of each real entry within its row (0..count-1, in j order)
+    first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(rows)) - first[rows]
+    nr = _pow2_bucket(max(len(rows), 1), 64)
+    packed = np.empty((3, nr), np.int32)
+    packed[0] = R
+    packed[1] = nt * r_max
+    packed[2] = 0
+    packed[0, :len(rows)] = ts[rows, js]
+    packed[1, :len(rows)] = (rows * r_max + rank).astype(np.int32)
+    packed[2, :len(rows)] = qc[rows, js].astype(np.float32).view(np.int32)
+    return packed, int(r_max)
+
+
 def encode_queries_split(
     query_tokens: list, split: SplitBM25Index,
     tail_pad_multiple: int = 4,
@@ -609,14 +662,31 @@ def retrieve_topk_split(
     ~0.95 by default) instead of exact top-k — a latency/recall trade for
     serving workloads. ``doc_mask`` excludes docs from selection; unfilled
     slots return id -1 / probability 0.
+
+    Without an overflow table, tf counts are reconstructed ONLY at the
+    k winners (presence-row matmul + tail-table equality count) instead
+    of materializing the dense (nq, D_pad) tf matrix — at 1M docs that
+    matrix plus the compare-path tf intermediate are ~6 GB of HBM the
+    kernel no longer touches. The reconstruction is exact: integer
+    equality counts, order-free f32 sums, bit-equal to the dense path.
     """
     from bayesian_bm25_tpu.ops import transform as T
 
-    scores, tfs = _split_score_kernel(
-        dense_impact, dense_presence, tail_ids, tail_w,
-        fslots, fcnt, tail_rows, tail_qids, tail_qcnt, overflow=overflow,
-        precision=precision, impact_lo=impact_lo,
-    )
+    nq = fslots.shape[0]
+    lean = overflow is None
+    if lean:
+        qvec, qpres = _densify_queries(fslots, fcnt,
+                                       dense_impact.shape[1])
+        scores = _impact_matmul(qvec, dense_impact, impact_lo, precision)
+        t_scores, _ = _compare_table(tail_ids, tail_w, tail_qids,
+                                     tail_qcnt)
+        scores = scores.at[tail_rows].add(t_scores)
+    else:
+        scores, tfs = _split_score_kernel(
+            dense_impact, dense_presence, tail_ids, tail_w,
+            fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
+            overflow=overflow, precision=precision, impact_lo=impact_lo,
+        )
     D_pad = scores.shape[1]
     if doc_mask is not None:
         mask_pad = jnp.concatenate(
@@ -632,8 +702,34 @@ def retrieve_topk_split(
     dead = ~jnp.isfinite(top_scores)
     top_scores = jnp.where(dead, 0.0, top_scores)
     top_ids = jnp.where(dead, -1, top_ids)
-    top_tfs = jnp.take_along_axis(tfs, jnp.maximum(top_ids, 0), axis=1)
-    top_dlr = doc_lengths[jnp.maximum(top_ids, 0)] / avgdl
+    safe_ids = jnp.maximum(top_ids, 0)
+    if lean:
+        # Frequent-side tf: presence rows only at the winners.
+        pres_rows = dense_presence[safe_ids]           # (nq, k, K)
+        tf_freq = jnp.einsum("nkc,nc->nk", pres_rows,
+                             qpres.astype(dense_presence.dtype),
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+        # Tail-side tf: |winner's rare terms ∩ query's rare terms|.
+        # Rare ids are unique on both sides and the pad sentinels differ
+        # (DOC_PAD -1 vs QUERY_PAD -2), so an equality-count over the
+        # (T_A, Qt) grid reproduces _compare_table's tf contribution
+        # exactly. Pad tail rows (QUERY_PAD in column 0) route to a
+        # trash row so they cannot clobber query 0's rare ids.
+        Qt = tail_qids.shape[1]
+        is_pad_row = tail_qids[:, 0] < 0
+        safe_rows = jnp.where(is_pad_row, nq, tail_rows)
+        qt_full = jnp.full((nq + 1, Qt), eidx.QUERY_PAD,
+                           tail_qids.dtype).at[safe_rows].set(
+            tail_qids)[:nq]
+        w_tail = tail_ids[safe_ids]                    # (nq, k, T_A)
+        tf_tail = jnp.sum(
+            (w_tail[:, :, :, None] == qt_full[:, None, None, :])
+            .astype(jnp.float32), axis=(2, 3))
+        top_tfs = tf_freq + tf_tail
+    else:
+        top_tfs = jnp.take_along_axis(tfs, safe_ids, axis=1)
+    top_dlr = doc_lengths[safe_ids] / avgdl
     probs = T.score_to_probability(
         top_scores, top_tfs, top_dlr, alpha, beta, base_rate,
         prior_free=prior_free,
@@ -689,11 +785,15 @@ def exact_topk_blockwise(scores, k: int, block: int = 128,
             bmax = pr.block_max(scores, block, valid_upto=valid_upto)
             mask_cands = True
         else:
+            # The masked view feeds ONLY the reduce, so XLA fuses the
+            # where into it (no (nq, D) masked copy — at 1M docs that
+            # copy alone is 4 GB); candidates re-mask at gather time.
             col = (jax.lax.broadcasted_iota(jnp.int32, (G, block), 0)
                    * block
                    + jax.lax.broadcasted_iota(jnp.int32, (G, block), 1))
-            tiles = jnp.where((col < valid_upto)[None], tiles, -jnp.inf)
-            bmax = tiles.max(axis=2)
+            bmax = jnp.where((col < valid_upto)[None], tiles,
+                             -jnp.inf).max(axis=2)
+            mask_cands = True
     else:
         pad = G * block - D
         padded = jnp.pad(scores, ((0, 0), (0, pad)),
@@ -725,28 +825,54 @@ def candidate_cap(split: SplitBM25Index, tail_slots: np.ndarray, k: int) -> int:
 def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
                   tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
                   n_docs: int, pallas_gather: bool = False,
-                  tf_from_sign: bool = False):
+                  tf_from_sign: bool = False, compact=None):
     """Rare-postings candidate merge shared by the single-chip and
     per-shard sparse kernels: fold each tail query's rare-term postings
     into the k matmul leaders and return the merged
     (ids, scores, tail_tf) per query row. ``scores``/``post_ids`` use
     LOCAL doc ids when called inside a shard (n_docs = local real-doc
-    count); the caller adds the shard offset afterwards."""
+    count); the caller adds the shard offset afterwards.
+
+    ``compact`` (the :func:`compact_tail_postings` result, with r_max
+    static in the caller) switches the candidate build to
+    gather-real-rows + scatter into a rank-packed (nt, r_max, P)
+    layout: empty cells reconstruct the sentinel row's id-D_pad /
+    weight-0 content and real terms keep their query-slot order, so the
+    stable id-sort sees per-doc payload sequences identical to the
+    dense build — while the gather, sort, segment sums, and candidate
+    top-k all run at the (usually much narrower) packed width."""
     nq = topm_ids.shape[0]
     nt, Qt = tail_slots.shape
     D_pad = scores.shape[1]
     R = post_ids.shape[0] - 1
 
-    # Postings of each tail query's rare terms: (nt, Qt, P).
-    pid = post_ids[tail_slots]
-    pw = post_w[tail_slots]
+    # Postings of each tail query's rare terms: (nt, width, P).
+    if compact is not None:
+        packed, r_max = compact
+        flat_slots = packed[0]
+        flat_dest = packed[1]
+        flat_qcnt = jax.lax.bitcast_convert_type(packed[2], jnp.float32)
+        P = post_ids.shape[1]
+        g_ids = post_ids[flat_slots]                      # (nr, P)
+        g_v = flat_qcnt[:, None] * post_w[flat_slots]
+        pid = jnp.full((nt * r_max + 1, P), D_pad, post_ids.dtype).at[
+            flat_dest].set(g_ids, mode="drop")[:nt * r_max].reshape(
+            nt, r_max, P)
+        v = jnp.zeros((nt * r_max + 1, P), jnp.float32).at[
+            flat_dest].set(g_v, mode="drop")[:nt * r_max].reshape(
+            nt, r_max, P)
+    else:
+        pid = post_ids[tail_slots]
+        pw = post_w[tail_slots]
+        # Per-entry contribution c_j * w — identical product to the
+        # compare kernel's qcnt[j] * weight, so downstream sums can be
+        # bit-equal.
+        v = tail_qcnt[:, :, None] * pw
     pvalid = pid < n_docs  # sentinel rows/slots carry id D_pad, weight 0
-    # Per-entry contribution c_j * w — identical product to the compare
-    # kernel's qcnt[j] * weight, so downstream sums can be bit-equal.
-    v = tail_qcnt[:, :, None] * pw
+    width = pid.shape[1]   # Qt (dense) or r_max (packed)
 
     # Candidate set per tail row: k matmul leaders ++ all postings docs.
-    C = k + Qt * pid.shape[2]
+    C = k + width * pid.shape[2]
     cand_cap = min(max(cand_cap, k), C)
     cand_ids = jnp.concatenate(
         [topm_ids[tail_rows], pid.reshape(nt, -1)], axis=1)
@@ -792,14 +918,14 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
         sbase = scores[tail_rows[:, None], jnp.minimum(sid, D_pad - 1)]
 
     # Segment totals via shifted adds: a doc appears at most once per rare
-    # query term plus once as a leader -> segment length <= Qt + 1. The
-    # d-descending loop accumulates positions in ascending order (exact
-    # order parity with the sequential tail loop); masked adds contribute
-    # literal 0.0 so float results are unchanged.
+    # query term plus once as a leader -> segment length <= width + 1.
+    # The d-descending loop accumulates positions in ascending order
+    # (exact order parity with the sequential tail loop); masked adds
+    # contribute literal 0.0 so float results are unchanged.
     neg = jnp.full((nt, 1), -1, sid.dtype)
     tail_tot = jnp.zeros_like(sv)
     tf_tot = jnp.zeros_like(stf)
-    for d in range(min(Qt, cand_cap - 1), -1, -1):
+    for d in range(min(width, cand_cap - 1), -1, -1):
         if d == 0:
             same = jnp.ones(sid.shape, bool)
             sv_d, stf_d = sv, stf
@@ -842,14 +968,15 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
 
 @partial(jax.jit,
          static_argnames=("k", "cand_cap", "n_docs", "prior_free", "approx",
-                          "precision", "pallas_gather", "tf_from_sign"))
+                          "precision", "pallas_gather", "tf_from_sign",
+                          "compact_rmax"))
 def retrieve_topk_split_sparse(
     dense_impact, dense_presence, post_ids, post_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
     approx: bool = False, precision=jax.lax.Precision.HIGHEST,
     doc_mask=None, impact_lo=None, pallas_gather: bool = False,
-    tf_from_sign: bool = False,
+    tf_from_sign: bool = False, compact=None, compact_rmax: int = 0,
 ):
     """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
 
@@ -903,7 +1030,8 @@ def retrieve_topk_split_sparse(
         scores, topm_scores, topm_ids, post_ids, post_w,
         tail_rows, tail_slots, tail_qcnt, k, cand_cap, n_docs,
         pallas_gather=pallas_gather and doc_mask is None,
-        tf_from_sign=tf_from_sign)
+        tf_from_sign=tf_from_sign,
+        compact=None if compact is None else (compact, compact_rmax))
 
     dead = ~jnp.isfinite(out_scores)
     out_scores = jnp.where(dead, 0.0, out_scores)

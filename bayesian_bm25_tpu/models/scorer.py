@@ -714,6 +714,18 @@ class BayesianBM25Scorer:
                 use_pg = pg.eligible(
                     s.dense_impact.shape[0], len(trows),
                     masked=doc_mask is not None)
+                # Rank-packed candidate build: gathers only real
+                # postings rows and runs the whole merge at the packed
+                # width; engages when it actually narrows the layout.
+                comp, r_max = None, 0
+                if sidx.PACKED_BUILD:
+                    R = s.post_doc_ids.shape[0] - 1
+                    packed, r_max = sidx.compact_tail_postings(
+                        tslots, tqcnt, R)
+                    if r_max < tslots.shape[1]:
+                        comp = jnp.asarray(packed)
+                    else:
+                        r_max = 0
                 top_ids, probs, top_scores, top_tfs = (
                     sidx.retrieve_topk_split_sparse(
                         s.dense_impact, s.dense_presence, s.post_doc_ids,
@@ -727,6 +739,7 @@ class BayesianBM25Scorer:
                         doc_mask=doc_mask, impact_lo=s.dense_impact_lo,
                         pallas_gather=use_pg,
                         tf_from_sign=s.post_w_positive,
+                        compact=comp, compact_rmax=r_max,
                     )
                 )
             else:

@@ -26,6 +26,21 @@ from bayesian_bm25_tpu.ops import transform as T
 from bayesian_bm25_tpu.ops.mathx import clamp_probability, sigmoid
 
 
+def _leader_topk(scores, k: int):
+    """Per-shard exact leader selection: blockwise (Pallas block-max
+    when shapes allow) on 256-aligned local widths, ``lax.top_k``
+    otherwise. Bit-identical to ``lax.top_k`` including tie order, so
+    single-chip/sharded equality is preserved; masked (-inf) scores
+    pass through unchanged."""
+    d_local = scores.shape[1]
+    if d_local % 256 == 0 and k < d_local // 256:
+        from bayesian_bm25_tpu.engine.split_index import (
+            exact_topk_blockwise)
+        return exact_topk_blockwise(scores, k, block=256,
+                                    valid_upto=d_local)
+    return jax.lax.top_k(scores, k)
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
     """1-D device mesh over the document axis.
 
@@ -76,7 +91,7 @@ def sharded_retrieve_topk_2d(mesh: Mesh, term_ids, weights, doc_lengths,
     def body(tids, w, dl, qi, qc):
         scores, tfs = _local_score(tids, w, qi, qc)
         local_k = min(k, tids.shape[0])
-        top_s, top_local = jax.lax.top_k(scores, local_k)
+        top_s, top_local = _leader_topk(scores, local_k)
         offset = jax.lax.axis_index("d") * tids.shape[0]
         top_global = top_local + offset
         top_tf = jnp.take_along_axis(tfs, top_local, axis=1)
@@ -189,7 +204,7 @@ def _compare_retrieve_body(mesh, k, n_docs, prior_free, has_base_rate):
         # drop to -inf before the local top-k, exactly as single-chip.
         scores = jnp.where(mask[None, :], scores, -jnp.inf)
         local_k = min(k, tids.shape[0])
-        top_s, top_local = jax.lax.top_k(scores, local_k)
+        top_s, top_local = _leader_topk(scores, local_k)
         shard = jax.lax.axis_index("d")
         offset = shard * tids.shape[0]
         top_global = top_local + offset
@@ -328,22 +343,36 @@ def _split_retrieve_body(mesh, k, n_docs, prior_free, precision,
     )
     def body(imp, lo, pres, tids, tw, dl, fs, fc, trow, tqi, tqc, mask,
              alpha, beta, br, avgdl):
+        nq = fs.shape[0]
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
         scores = _impact_matmul(qvec, imp, lo, precision)
-        # Presence/tf is exact in one bf16 pass (0/1 operands, f32
-        # accumulation) — same as the single-chip kernel.
-        tfs = jnp.dot(qpres.astype(pres.dtype), pres.T,
-                      preferred_element_type=jnp.float32)
-        t_scores, t_tfs = _local_score(tids, tw, tqi, tqc)
+        t_scores, _ = _local_score(tids, tw, tqi, tqc)
         scores = scores.at[trow].add(t_scores)
-        tfs = tfs.at[trow].add(t_tfs)
         scores = jnp.where(mask[None, :], scores, -jnp.inf)
 
         local_k = min(k, tids.shape[0])
-        top_s, top_local = jax.lax.top_k(scores, local_k)
+        top_s, top_local = _leader_topk(scores, local_k)
         offset = jax.lax.axis_index("d") * tids.shape[0]
         top_global = top_local + offset
-        top_tf = jnp.take_along_axis(tfs, top_local, axis=1)
+        # Winner-only tf (same lean reconstruction as the single-chip
+        # kernel — no (nq, D_local) dense tf matrix per shard):
+        # presence rows at the local winners (exact one-pass bf16) plus
+        # the rare-term equality count against the winner's tail row.
+        pres_rows = pres[top_local]                   # (nq, lk, K)
+        tf_freq = jnp.einsum("nkc,nc->nk", pres_rows,
+                             qpres.astype(pres.dtype),
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+        Qt = tqi.shape[1]
+        is_pad_row = tqi[:, 0] < 0
+        safe_rows = jnp.where(is_pad_row, nq, trow)
+        qt_full = jnp.full((nq + 1, Qt), -2, tqi.dtype).at[
+            safe_rows].set(tqi)[:nq]
+        w_tail = tids[top_local]                      # (nq, lk, T_A)
+        tf_tail = jnp.sum(
+            (w_tail[:, :, :, None] == qt_full[:, None, None, :])
+            .astype(jnp.float32), axis=(2, 3))
+        top_tf = tf_freq + tf_tail
         top_dl = dl[top_local]
         cand_s = jax.lax.all_gather(top_s, "d", axis=1, tiled=True)
         cand_id = jax.lax.all_gather(top_global, "d", axis=1, tiled=True)
@@ -376,7 +405,7 @@ def sharded_retrieve_topk_split_sparse(
         n_docs: int | None = None, prior_free: bool = False,
         approx: bool = False, precision=jax.lax.Precision.HIGHEST,
         doc_mask=None, impact_lo=None, local_k: int | None = None,
-        tf_from_sign: bool = False):
+        tf_from_sign: bool = False, compact=None, compact_rmax: int = 0):
     """Distributed sparse-candidate exact top-k (the fastest single-chip
     kernel, doc-sharded): per shard, one MXU matmul + local leader
     selection + rare-postings merge against the SHARD-LOCAL postings
@@ -410,9 +439,15 @@ def sharded_retrieve_topk_split_sparse(
     D_pad = dense_impact.shape[0]
     n_real = n_docs if n_docs is not None else D_pad
     lk = min(local_k or k, k)
+    # The rank-packed candidate build is shard-invariant: per-shard
+    # postings tables keep the global row indexing (a term's row may be
+    # all-sentinel in a shard, which packs to the same sentinel content
+    # the dense build gathers), so one host compaction serves every
+    # shard as replicated operands.
+    rmax = compact_rmax if compact is not None else 0
     body = _sparse_retrieve_body(
         mesh, k, lk, cand_cap, n_real, bool(prior_free), bool(approx),
-        precision, base_rate is not None, bool(tf_from_sign))
+        precision, base_rate is not None, bool(tf_from_sign), rmax)
 
     # Sharded validity mask: real docs pass their doc_mask bit; global
     # pad docs always drop.
@@ -425,11 +460,13 @@ def sharded_retrieve_topk_split_sparse(
     mask_pad = jax.device_put(jnp.asarray(base_mask),
                               NamedSharding(mesh, P("d")))
     f32 = jnp.float32
+    cpk = (jnp.asarray(compact) if rmax
+           else jnp.zeros((3, 1), jnp.int32))
     return body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
                 dense_presence, post_ids_sh, post_w_sh, doc_lengths,
                 jnp.asarray(fslots), jnp.asarray(fcnt),
                 jnp.asarray(tail_rows), jnp.asarray(tail_slots),
-                jnp.asarray(tail_qcnt), mask_pad,
+                jnp.asarray(tail_qcnt), cpk, mask_pad,
                 jnp.asarray(alpha, f32), jnp.asarray(beta, f32),
                 jnp.asarray(0.0 if base_rate is None else base_rate, f32),
                 jnp.asarray(avgdl, f32))
@@ -438,9 +475,11 @@ def sharded_retrieve_topk_split_sparse(
 @functools.lru_cache(maxsize=None)
 def _sparse_retrieve_body(mesh, k, lk, cand_cap, n_real, prior_free,
                           approx, precision, has_base_rate,
-                          tf_from_sign=False):
+                          tf_from_sign=False, compact_rmax=0):
     """Compiled per-shard sparse retrieve, cached on the static config
-    (mesh + shape/selection parameters). Scalars are operands."""
+    (mesh + shape/selection parameters). Scalars are operands;
+    ``compact_rmax`` > 0 switches the merge to the rank-packed
+    candidate build (flat compaction arrays travel replicated)."""
     from bayesian_bm25_tpu.engine.split_index import (
         _densify_queries, _impact_matmul, _sparse_merge)
 
@@ -450,13 +489,14 @@ def _sparse_retrieve_body(mesh, k, lk, cand_cap, n_real, prior_free,
         in_specs=(P("d", None), P("d", None), P("d", None),
                   P("d", None, None), P("d", None, None), P("d"),
                   P(None, None), P(None, None), P(None), P(None, None),
-                  P(None, None), P("d"), P(), P(), P(), P()),
+                  P(None, None), P(None, None), P("d"),
+                  P(), P(), P(), P()),
         out_specs=(P(None, None), P(None, None), P(None, None),
                    P(None, None)),
         check_vma=False,
     )
-    def body(imp, lo, pres, pid3, pw3, dl, fs, fc, trow, tsl, tqc, mask,
-             alpha, beta, br, avgdl):
+    def body(imp, lo, pres, pid3, pw3, dl, fs, fc, trow, tsl, tqc,
+             cpk, mask, alpha, beta, br, avgdl):
         pid = pid3[0]
         pw = pw3[0]
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
@@ -470,10 +510,11 @@ def _sparse_retrieve_body(mesh, k, lk, cand_cap, n_real, prior_free,
         if approx:
             topm_s, topm_i = jax.lax.approx_max_k(scores, lk)
         else:
-            topm_s, topm_i = jax.lax.top_k(scores, lk)
+            topm_s, topm_i = _leader_topk(scores, lk)
         out_ids, out_scores, out_tail_tf = _sparse_merge(
             scores, topm_s, topm_i, pid, pw, trow, tsl, tqc, lk,
-            cand_cap, D_local, tf_from_sign=tf_from_sign)
+            cand_cap, D_local, tf_from_sign=tf_from_sign,
+            compact=(cpk, compact_rmax) if compact_rmax else None)
 
         safe = jnp.maximum(out_ids, 0)
         pres_rows = pres[safe]  # (nq, k, K)
@@ -592,7 +633,7 @@ def _split_retrieve_2d_body(mesh, k, n_docs, prior_free, precision, approx,
         if approx:
             top_s, top_local = jax.lax.approx_max_k(scores, local_k)
         else:
-            top_s, top_local = jax.lax.top_k(scores, local_k)
+            top_s, top_local = _leader_topk(scores, local_k)
         offset = jax.lax.axis_index("d") * tids.shape[0]
         top_global = top_local + offset
         top_tf = jnp.take_along_axis(tfs, top_local, axis=1)

@@ -216,6 +216,15 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
             pid_sh, pw_sh, df_sh = self._post_sh
             cap = sidx.sharded_candidate_cap(
                 df_sh, tslots, k_eff, pid_sh.shape[2])
+            comp, r_max = None, 0
+            if sidx.PACKED_BUILD:
+                R = pid_sh.shape[1] - 1
+                packed, r_max = sidx.compact_tail_postings(
+                    tslots, tqcnt, R)
+                if r_max < tslots.shape[1]:
+                    comp = packed
+                else:
+                    r_max = 0
             top_ids, probs, top_scores, top_tfs = (
                 sharded.sharded_retrieve_topk_split_sparse(
                     self._mesh, s.dense_impact, s.dense_presence,
@@ -226,6 +235,7 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                     approx=approx, precision=self._matmul_precision,
                     doc_mask=doc_mask, impact_lo=s.dense_impact_lo,
                     tf_from_sign=s.post_w_positive,
+                    compact=comp, compact_rmax=r_max,
                 )
             )
         elif self._split is not None:

@@ -181,17 +181,25 @@ def load_scorer(path: str):
         method=str(data["method"][0]),
         base_rate_method=str(data["base_rate_method"][0]),
     )
+    # Decompress each table once; keep the numpy copy as the host
+    # mirror so the split-accelerator rebuild below never pulls the
+    # device tables back over the link (a ~1 GB D2H on large corpora).
+    term_ids = np.asarray(data["term_ids"])
+    weights = np.asarray(data["weights"])
+    doc_lengths = np.asarray(data["doc_lengths"])
     scorer._index = BM25Index(
         k1=float(data["k1"]), b=float(data["b"]),
         method=str(data["method"][0]), vocab=vocab,
-        term_ids=jnp.asarray(data["term_ids"]),
-        weights=jnp.asarray(data["weights"]),
-        doc_lengths=jnp.asarray(data["doc_lengths"]),
+        term_ids=jnp.asarray(term_ids),
+        weights=jnp.asarray(weights),
+        doc_lengths=jnp.asarray(doc_lengths),
         doc_frequencies=np.asarray(data["doc_frequencies"]),
         idf=np.asarray(data["idf"]),
         n_docs=int(data["n_docs"]), n_terms=int(data["n_terms"]),
         avgdl=float(data["avgdl"]),
         max_doc_terms=int(data["max_doc_terms"]),
+        term_ids_host=term_ids, weights_host=weights,
+        doc_lengths_host=doc_lengths,
     )
     scorer._maybe_build_split()
     br = float(data["base_rate"])

@@ -98,6 +98,32 @@ def main():
     ms, _ = timed(gonly, post_ids, post_w, fs_d, fq_d)
     print(f"compact gather only     {ms:7.2f} ms")
 
+    # Full-kernel A/B through the library entry point.
+    enc_d = tuple(map(jnp.asarray, (fslots, fcnt, trows, tslots_np,
+                                    tqcnt)))
+    cap = sidx.candidate_cap(s, tslots_np, k)
+    pk, r_max = sidx.compact_tail_postings(tslots_np,
+                                           np.asarray(tqcnt), R)
+    flat_d = jnp.asarray(pk)
+    print(f"r_max {r_max}  Qt {Qt}  cap {cap}")
+    common = (s.dense_impact, s.dense_presence, post_ids, post_w,
+              idx.doc_lengths, idx.avgdl, *enc_d, k, cap, 1.0, 2.0, 0.05)
+    kw = dict(n_docs=idx.n_docs, impact_lo=s.dense_impact_lo,
+              tf_from_sign=s.post_w_positive)
+    packed = {"compact": flat_d, "compact_rmax": r_max}
+    ref = None
+    for name, extra in (("dense", {}), ("packed", packed),
+                        ("dense2", {}), ("packed2", packed)):
+        ms, out = timed(sidx.retrieve_topk_split_sparse, *common,
+                        **kw, **extra)
+        if ref is None:
+            ref = [np.asarray(o) for o in out]
+            okmsg = ""
+        else:
+            ok = all((np.asarray(o) == r).all() for o, r in zip(out, ref))
+            okmsg = f"  match={ok}"
+        print(f"full kernel {name:9s} {ms:7.2f} ms{okmsg}")
+
 
 if __name__ == "__main__":
     main()

@@ -143,6 +143,30 @@ class TestScorerCheckpoint:
         with pytest.raises(ValueError):
             save_scorer(str(tmp_path / "x.npz"), BayesianBM25Scorer())
 
+    def test_load_populates_host_mirrors(self, tmp_path):
+        """load_scorer must set the numpy host mirrors: the split
+        accelerator (and any future append) otherwise pulls the full
+        device tables back over the interconnect on first use."""
+        import numpy as np
+
+        from bayesian_bm25_tpu import BayesianBM25Scorer
+        from bayesian_bm25_tpu.utils.io import load_scorer, save_scorer
+
+        rng = np.random.default_rng(1)
+        corpus = [[f"t{t}" for t in rng.zipf(1.4, size=20) % 300]
+                  for _ in range(150)]
+        s = BayesianBM25Scorer()
+        s.index(corpus, show_progress=False)
+        path = str(tmp_path / "scorer.npz")
+        save_scorer(path, s)
+        s2 = load_scorer(path)
+        idx = s2.bm25_index
+        assert isinstance(idx.term_ids_host, np.ndarray)
+        assert isinstance(idx.weights_host, np.ndarray)
+        assert isinstance(idx.doc_lengths_host, np.ndarray)
+        np.testing.assert_array_equal(idx.term_ids_host,
+                                      np.asarray(idx.term_ids))
+
 
 class TestTokOptsRoundTrip:
     """Checkpoint round-trips must preserve index-time tokenizer options:

@@ -200,3 +200,126 @@ class TestTfFromSign:
         if (real > 0).all():
             pytest.skip("zero-weight term not in rare postings")
         assert split.post_w_positive is False
+
+
+class TestCompactBuild:
+    """The gather+scatter candidate build (compact_tail_postings) must
+    reproduce the dense post_ids[tail_slots] build bit-for-bit: empty
+    grid cells reconstruct the sentinel row's id-D_pad/weight-0 content,
+    so every downstream stage (sort, merge, top-k) sees identical
+    inputs."""
+
+    @pytest.mark.parametrize("tf_from_sign", [True, False])
+    def test_bit_identical_to_dense_build(self, setup, tf_from_sign):
+        import jax.numpy as jnp
+        idx, queries = setup
+        split = sidx.build_split_index(idx, n_frequent=256)
+        if split.post_doc_ids is None:
+            pytest.skip("no rare postings")
+        enc = sidx.encode_queries_split(queries, split)
+        fslots, fcnt, trows, tqids, tqcnt = enc
+        tslots = sidx.map_tail_slots(tqids, split)
+        cap = sidx.candidate_cap(split, tslots, 7)
+        R = split.post_doc_ids.shape[0] - 1
+        packed, r_max = sidx.compact_tail_postings(tslots, tqcnt, R)
+        assert r_max < tslots.shape[1]  # fixture must exercise packing
+        common = (split.dense_impact, split.dense_presence,
+                  split.post_doc_ids, split.post_weights,
+                  idx.doc_lengths, idx.avgdl,
+                  jnp.asarray(fslots), jnp.asarray(fcnt),
+                  jnp.asarray(trows), jnp.asarray(tslots),
+                  jnp.asarray(tqcnt), 7, cap, 1.0, 2.0, 0.05)
+        kw = dict(n_docs=idx.n_docs, impact_lo=split.dense_impact_lo,
+                  tf_from_sign=tf_from_sign and split.post_w_positive)
+        dense = sidx.retrieve_topk_split_sparse(*common, **kw)
+        comp = sidx.retrieve_topk_split_sparse(
+            *common, **kw, compact=jnp.asarray(packed),
+            compact_rmax=r_max)
+        for a, b in zip(dense, comp):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_compaction_layout(self):
+        tslots = np.array([[3, 9, 9], [9, 9, 9], [0, 1, 9]], np.int32)
+        qcnt = np.array([[2., 0., 0.], [0., 0., 0.], [1., 3., 0.]],
+                        np.float32)
+        packed, r_max = sidx.compact_tail_postings(tslots, qcnt, R=9)
+        fs, fd = packed[0], packed[1]
+        fq = packed[2].view(np.float32)
+        assert r_max == 2  # row 2 has two real terms
+        assert len(fs) == 64  # pow2 bucket floor
+        np.testing.assert_array_equal(fs[:3], [3, 0, 1])
+        # rank-packed destinations: row*r_max + rank
+        np.testing.assert_array_equal(fd[:3], [0, 4, 5])
+        np.testing.assert_array_equal(fq[:3], [2., 1., 3.])
+        assert (fs[3:] == 9).all() and (fd[3:] == 6).all()
+        assert (fq[3:] == 0).all()
+
+
+class TestPackedBuildScorerPath:
+    """End-to-end scorer retrieval must be identical with the packed
+    candidate build on and off (the flag only changes the build
+    layout)."""
+
+    def test_retrieve_equal_packed_on_off(self, monkeypatch):
+        from bayesian_bm25_tpu import BayesianBM25Scorer
+
+        rng = np.random.default_rng(7)
+        corpus = [[f"t{t}" for t in rng.zipf(1.35, size=40) % 2000]
+                  for _ in range(600)]
+        queries = [[f"t{t}" for t in rng.zipf(1.35, size=5) % 2000]
+                   for _ in range(12)] + [[], ["t1999"]]
+        s = BayesianBM25Scorer(base_rate=0.02)
+        s.index(corpus, show_progress=False)
+        if s._split is None or s._split.post_doc_ids is None:
+            pytest.skip("sparse path not engaged at this scale")
+        monkeypatch.setattr(sidx, "PACKED_BUILD", False)
+        ids0, probs0 = s.retrieve(queries, k=8)
+        monkeypatch.setattr(sidx, "PACKED_BUILD", True)
+        ids1, probs1 = s.retrieve(queries, k=8)
+        np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
+        np.testing.assert_array_equal(np.asarray(probs0),
+                                      np.asarray(probs1))
+
+
+class TestLeanWinnerTf:
+    """retrieve_topk_split without an overflow table reconstructs tf
+    only at the winners; must be bit-equal to the dense compare path."""
+
+    def test_tf_and_probs_match_compare_kernel(self, setup):
+        idx, queries = setup
+        split = sidx.build_split_index(idx, n_frequent=256,
+                                       enable_overflow=False)
+        assert split.over_term_ids is None
+        qids, qcnt = eidx.encode_queries(queries, idx.vocab)
+        old = scoring.retrieve_topk(
+            idx.term_ids, idx.weights, idx.doc_lengths, idx.avgdl,
+            qids, qcnt, 7, 1.0, 2.0, 0.05, n_docs=idx.n_docs)
+        enc = sidx.encode_queries_split(queries, split)
+        new = sidx.retrieve_topk_split(
+            split.dense_impact, split.dense_presence,
+            split.tail_term_ids, split.tail_weights, idx.doc_lengths,
+            idx.avgdl, *enc, 7, 1.0, 2.0, 0.05, n_docs=idx.n_docs,
+            overflow=None)
+        np.testing.assert_array_equal(np.asarray(new[0]),
+                                      np.asarray(old[0]))
+        np.testing.assert_array_equal(np.asarray(new[3]),
+                                      np.asarray(old[3]))  # tf exact
+        np.testing.assert_allclose(np.asarray(new[1]),
+                                   np.asarray(old[1]),
+                                   rtol=2e-4, atol=1e-5)
+
+    def test_doc_mask_still_exact(self, setup):
+        idx, queries = setup
+        split = sidx.build_split_index(idx, n_frequent=256,
+                                       enable_overflow=False)
+        rng = np.random.default_rng(4)
+        mask = rng.uniform(size=idx.n_docs) < 0.5
+        import jax.numpy as jnp
+        enc = sidx.encode_queries_split(queries, split)
+        out = sidx.retrieve_topk_split(
+            split.dense_impact, split.dense_presence,
+            split.tail_term_ids, split.tail_weights, idx.doc_lengths,
+            idx.avgdl, *enc, 5, 1.0, 2.0, 0.05, n_docs=idx.n_docs,
+            overflow=None, doc_mask=jnp.asarray(mask))
+        ids = np.asarray(out[0])
+        assert (mask[ids[ids >= 0]]).all()
