@@ -259,6 +259,23 @@ class TestShardedSparsePath:
         # approx recall is high on tiny corpora; top-1 must agree
         np.testing.assert_array_equal(ids_a[:, 0], ids_e[:, 0])
 
+    def test_retrieve_equal_packed_on_off(self, pair, monkeypatch):
+        """The rank-packed candidate build must be a pure layout change
+        on the sharded path too: retrieval output identical with the
+        flag on and off (compaction arrays travel replicated, per-shard
+        merges see the same per-doc payload sequences)."""
+        from bayesian_bm25_tpu.engine import split_index as sidx
+        _, shard, corpus, rng = pair
+        queries = [corpus[i][:6] for i in range(0, 90, 11)]
+        queries += [[], ["zzz_oov"], corpus[3][:1]]
+        monkeypatch.setattr(sidx, "PACKED_BUILD", False)
+        ids0, probs0 = shard.retrieve(queries, k=9)
+        monkeypatch.setattr(sidx, "PACKED_BUILD", True)
+        ids1, probs1 = shard.retrieve(queries, k=9)
+        np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
+        np.testing.assert_array_equal(np.asarray(probs0),
+                                      np.asarray(probs1))
+
     def test_sharded_postings_round_trip(self, pair):
         from bayesian_bm25_tpu.engine import split_index as sidx
         _, shard, _, _ = pair
