@@ -83,6 +83,12 @@ class SplitBM25Index:
     # df > N/2). Lets the sparse merge derive tf counts from the sign of
     # the sorted contributions instead of co-sorting a third operand.
     post_w_positive: bool = False
+    # device: (2, D_pad) per-doc dequantization scales under "int8"
+    # storage (impact ~= scale[0]*hi + scale[1]*lo, elementwise per doc
+    # row); None otherwise. The scales multiply the SCORE columns
+    # (score_d = s_d*hidot_d + s2_d*lodot_d), so both matmul passes run
+    # as native int8 MXU ops with exact int32 accumulation.
+    impact_scale: jnp.ndarray | None = field(repr=False, default=None)
 
     @property
     def n_docs(self) -> int:
@@ -115,6 +121,12 @@ def build_split_index(
         8192x2048 @ 2048x51200 scoring matmul).
       * "bf16" — single bf16 matrix, one pass, ~4e-3 relative; halves
         HBM so K stays large on huge corpora.
+      * "int8" — (hi, lo) int8 pair with a per-doc f32 scale
+        (impact ~= scale * (hi + lo/128), ~3e-5 of the doc's max
+        weight). Query count vectors are small integers (exact in
+        int8), so scoring is two NATIVE int8 MXU passes with exact
+        int32 accumulation — v5e runs int8 at 2x bf16 throughput, and
+        the matrix pair is the same 2 bytes/element as one bf16 copy.
     ``None`` infers from ``dtype`` (float32 -> "f32", bfloat16 ->
     "bf16") for backward compatibility.
 
@@ -126,8 +138,9 @@ def build_split_index(
     """
     if storage is None:
         storage = "bf16" if dtype == jnp.bfloat16 else "f32"
-    if storage not in ("f32", "hilo", "bf16"):
-        raise ValueError(f"storage must be f32/hilo/bf16, got {storage!r}")
+    if storage not in ("f32", "hilo", "bf16", "int8"):
+        raise ValueError(
+            f"storage must be f32/hilo/bf16/int8, got {storage!r}")
     # Host mirrors avoid a device->host pull of the full table
     tids = (base.term_ids_host if base.term_ids_host is not None
             else np.asarray(base.term_ids))
@@ -210,6 +223,7 @@ def build_split_index(
         freq_slot, K, V, D_pad, row_idx, flat_tids, flat_w
     )
 
+    impact_scale = None
     if storage == "hilo":
         # Round to bf16, pull the rounded value back to f32 to form the
         # residual exactly, round the residual to bf16.
@@ -217,6 +231,25 @@ def build_split_index(
         impact_primary = hi_j
         impact_lo = jnp.asarray(
             impact - np.asarray(hi_j, dtype=np.float32), dtype=jnp.bfloat16)
+    elif storage == "int8":
+        # Per-DOC scales so they factor out of the K-sum: the epilogue
+        # multiplies score column d by s_d, keeping both dot passes in
+        # pure int8/int32. (A per-term scale would have to multiply
+        # inside the sum and break the integer dot.) The residual gets
+        # its OWN per-doc scale (row 1), so the representable range
+        # tracks the actual rounding error instead of a fixed 1/128 —
+        # element error <= s2_d/2 ~= amax_d / 64500.
+        amax = np.abs(impact).max(axis=1)
+        s = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        q = impact / s[:, None]
+        hi = np.clip(np.rint(q), -127, 127)         # |q| <= 127 (+eps)
+        resid = (q - hi) * s[:, None]               # true value units
+        rmax = np.abs(resid).max(axis=1)
+        s2 = np.where(rmax > 0, rmax / 127.0, 1.0).astype(np.float32)
+        lo = np.clip(np.rint(resid / s2[:, None]), -127, 127)
+        impact_primary = jnp.asarray(hi.astype(np.int8))
+        impact_lo = jnp.asarray(lo.astype(np.int8))
+        impact_scale = jnp.asarray(np.stack([s, s2]))
     else:
         impact_primary = jnp.asarray(
             impact, dtype=jnp.bfloat16 if storage == "bf16" else jnp.float32)
@@ -241,6 +274,7 @@ def build_split_index(
         post_weights=None if post_w is None else jnp.asarray(post_w),
         rare_df=rare_df,
         post_w_positive=bool((flat_w > 0).all()) if len(flat_w) else True,
+        impact_scale=impact_scale,
     )
 
 
@@ -521,7 +555,8 @@ def _densify_queries(fslots, fcnt, K: int):
     return qvec[:, :K], qpres[:, :K]
 
 
-def _impact_matmul(qvec, impact, impact_lo, precision):
+def _impact_matmul(qvec, impact, impact_lo, precision, scale=None,
+                   q_int8_ok: bool = True):
     """The frequent-term scoring matmul under any storage mode.
 
     hilo storage (impact_lo is not None): two 1-pass matmuls on the bf16
@@ -529,7 +564,28 @@ def _impact_matmul(qvec, impact, impact_lo, precision):
     counts are small integers — accumulated in f32. f32/bf16 storage:
     one dot at the requested precision (f32 inputs expand to 1/3/6 MXU
     passes for DEFAULT/HIGH/HIGHEST; bf16 inputs are always one pass).
+
+    int8 storage (``scale`` is not None): two int8xint8->int32 dots
+    (native MXU int8, 2x bf16 throughput on v5e) combined as
+    ``scale_d * (hi + lo/128)`` in the epilogue — exact integer
+    accumulation, so the only error is the ~3e-5 representation.
+    ``q_int8_ok`` must be False when any query count exceeds 127 (the
+    caller checks host-side); the fallback dequantizes the matrix pair
+    in-kernel and runs one f32 dot — correct at any count, ~2 extra
+    HBM passes over the (D, K) pair.
     """
+    if scale is not None:
+        if q_int8_ok:
+            qi = qvec.astype(jnp.int8)
+            hi = jnp.dot(qi, impact.T, preferred_element_type=jnp.int32)
+            lo = jnp.dot(qi, impact_lo.T,
+                         preferred_element_type=jnp.int32)
+            return (hi.astype(jnp.float32) * scale[0][None, :]
+                    + lo.astype(jnp.float32) * scale[1][None, :])
+        w = (impact.astype(jnp.float32) * scale[0][:, None]
+             + impact_lo.astype(jnp.float32) * scale[1][:, None])
+        return jnp.dot(qvec, w.T, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
     if impact_lo is not None and impact_lo.shape[1] > 0:
         # (a zero-width impact_lo is the sharded layer's "no residual"
         # sentinel — fall through to the single-matrix path)
@@ -564,12 +620,13 @@ def _compare_table(table_ids, table_w, tail_qids, tail_qcnt):
     )
 
 
-@partial(jax.jit, static_argnames=("precision",))
+@partial(jax.jit, static_argnames=("precision", "q_int8_ok"))
 def _split_score_kernel(dense_impact, dense_presence, tail_ids, tail_w,
                         fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
                         overflow=None,
                         precision=jax.lax.Precision.HIGHEST,
-                        impact_lo=None):
+                        impact_lo=None, impact_scale=None,
+                        q_int8_ok: bool = True):
     """scores = scatter(fslots) @ impact.T, plus the tail compare for the
     (small) subset of queries with rare terms, scattered back by row.
     ``overflow`` = (ids, weights, doc_ids) for the few docs whose rare
@@ -580,7 +637,8 @@ def _split_score_kernel(dense_impact, dense_presence, tail_ids, tail_w,
     # (scorer matmul_precision) trades exactness for MXU passes:
     # highest = 6, high = 3 (~1e-5 rel), default = 1 (~4e-4 rel);
     # hilo storage (impact_lo set) is 2 passes at ~8e-6.
-    scores = _impact_matmul(qvec, dense_impact, impact_lo, precision)
+    scores = _impact_matmul(qvec, dense_impact, impact_lo, precision,
+                            scale=impact_scale, q_int8_ok=q_int8_ok)
     # The presence matmul is EXACT in one bf16 pass: 0/1 operands are
     # representable, products are 0/1, and the MXU accumulates in f32
     # (tf counts are far below 2^24). Never burn multi-pass here.
@@ -619,15 +677,28 @@ def score_all_split(split: SplitBM25Index, fslots, fcnt, tail_rows,
         jnp.asarray(tail_qids), jnp.asarray(tail_qcnt),
         overflow=_overflow_of(split), precision=precision,
         impact_lo=split.dense_impact_lo,
+        impact_scale=split.impact_scale,
+        q_int8_ok=_q_int8_ok(split, fcnt),
     )
 
 
-@partial(jax.jit, static_argnames=("n_docs", "prior_free", "precision"))
+def _q_int8_ok(split: SplitBM25Index, fcnt) -> bool:
+    """True when the batch's query counts are exact in int8 (the near-
+    universal case). Host-side check; only consulted under int8
+    storage, where a False routes to the dequantizing f32 fallback."""
+    if split.impact_scale is None:
+        return True
+    return float(np.asarray(fcnt).max(initial=0.0)) <= 127.0
+
+
+@partial(jax.jit, static_argnames=("n_docs", "prior_free", "precision",
+                                   "q_int8_ok"))
 def probabilities_all_split(
     dense_impact, dense_presence, tail_ids, tail_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
     overflow=None, precision=jax.lax.Precision.HIGHEST, impact_lo=None,
+    impact_scale=None, q_int8_ok: bool = True,
 ):
     """Dense calibrated probabilities (nq, n_docs) via the split path."""
     from bayesian_bm25_tpu.ops import transform as T
@@ -636,6 +707,7 @@ def probabilities_all_split(
         dense_impact, dense_presence, tail_ids, tail_w,
         fslots, fcnt, tail_rows, tail_qids, tail_qcnt, overflow=overflow,
         precision=precision, impact_lo=impact_lo,
+        impact_scale=impact_scale, q_int8_ok=q_int8_ok,
     )
     scores = scores[:, :n_docs]
     tfs = tfs[:, :n_docs]
@@ -648,13 +720,14 @@ def probabilities_all_split(
 
 @partial(jax.jit,
          static_argnames=("k", "n_docs", "prior_free", "approx",
-                          "precision"))
+                          "precision", "q_int8_ok"))
 def retrieve_topk_split(
     dense_impact, dense_presence, tail_ids, tail_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_qids, tail_qcnt, k: int,
     alpha, beta, base_rate=None, *, n_docs: int, prior_free: bool = False,
     approx: bool = False, overflow=None,
     precision=jax.lax.Precision.HIGHEST, doc_mask=None, impact_lo=None,
+    impact_scale=None, q_int8_ok: bool = True,
 ):
     """Fused split scoring -> top-k -> Bayesian transform (hot path).
 
@@ -677,7 +750,8 @@ def retrieve_topk_split(
     if lean:
         qvec, qpres = _densify_queries(fslots, fcnt,
                                        dense_impact.shape[1])
-        scores = _impact_matmul(qvec, dense_impact, impact_lo, precision)
+        scores = _impact_matmul(qvec, dense_impact, impact_lo, precision,
+                                scale=impact_scale, q_int8_ok=q_int8_ok)
         t_scores, _ = _compare_table(tail_ids, tail_w, tail_qids,
                                      tail_qcnt)
         scores = scores.at[tail_rows].add(t_scores)
@@ -686,6 +760,7 @@ def retrieve_topk_split(
             dense_impact, dense_presence, tail_ids, tail_w,
             fslots, fcnt, tail_rows, tail_qids, tail_qcnt,
             overflow=overflow, precision=precision, impact_lo=impact_lo,
+            impact_scale=impact_scale, q_int8_ok=q_int8_ok,
         )
     D_pad = scores.shape[1]
     if doc_mask is not None:
@@ -969,7 +1044,7 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
 @partial(jax.jit,
          static_argnames=("k", "cand_cap", "n_docs", "prior_free", "approx",
                           "precision", "pallas_gather", "tf_from_sign",
-                          "compact_rmax"))
+                          "compact_rmax", "q_int8_ok"))
 def retrieve_topk_split_sparse(
     dense_impact, dense_presence, post_ids, post_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
@@ -977,6 +1052,7 @@ def retrieve_topk_split_sparse(
     approx: bool = False, precision=jax.lax.Precision.HIGHEST,
     doc_mask=None, impact_lo=None, pallas_gather: bool = False,
     tf_from_sign: bool = False, compact=None, compact_rmax: int = 0,
+    impact_scale=None, q_int8_ok: bool = True,
 ):
     """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
 
@@ -1007,8 +1083,9 @@ def retrieve_topk_split_sparse(
 
     K = dense_impact.shape[1]
     qvec, qpres = _densify_queries(fslots, fcnt, K)
-    scores = _impact_matmul(qvec, dense_impact, impact_lo,
-                            precision)  # (nq, D_pad)
+    scores = _impact_matmul(qvec, dense_impact, impact_lo, precision,
+                            scale=impact_scale,
+                            q_int8_ok=q_int8_ok)  # (nq, D_pad)
     if doc_mask is not None:
         # Masked docs drop to -inf BEFORE leader selection and before the
         # sbase gather, so they can neither lead nor win via postings;

@@ -139,7 +139,12 @@ class BayesianBM25Scorer:
     estimation. ``matmul_precision`` ("high" default | "highest" |
     "default") is a TPU-native extension: MXU pass count for the f32
     frequent-term matmul — see the ctor comment for the speed/exactness
-    trade.
+    trade. ``impact_storage`` (None | "f32" | "hilo" | "bf16" | "int8")
+    overrides the impact-matrix representation: "int8" runs the scoring
+    matmul as two NATIVE int8 MXU passes (2x bf16 throughput on v5e) at
+    an absolute-per-doc ~amax/64500 error class — same bytes/element as
+    "bf16" with ~20x lower error; exact cross-doc score ties may
+    re-order (per-doc scales quantize tied scores apart).
     """
 
     def __init__(
@@ -152,6 +157,7 @@ class BayesianBM25Scorer:
         base_rate: float | str | None = None,
         base_rate_method: str = "percentile",
         matmul_precision: str = "high",
+        impact_storage: str | None = None,
     ) -> None:
         if base_rate_method not in _VALID_BASE_RATE_METHODS:
             raise ValueError(
@@ -167,6 +173,18 @@ class BayesianBM25Scorer:
                 f"matmul_precision must be one of "
                 f"{tuple(_MATMUL_PRECISIONS)}, got {matmul_precision!r}"
             )
+        if impact_storage not in (None, "f32", "hilo", "bf16", "int8"):
+            raise ValueError(
+                "impact_storage must be one of (None, 'f32', 'hilo', "
+                f"'bf16', 'int8'), got {impact_storage!r}"
+            )
+        # Explicit impact-matrix representation override; None maps it
+        # from matmul_precision (and to bf16 on huge corpora). "int8"
+        # stores a (hi, lo) int8 pair + per-doc scale: two NATIVE int8
+        # MXU passes (2x bf16 throughput on v5e) at ~3e-5 relative —
+        # same bytes as one bf16 copy, so it is also the sharpest
+        # storage that fits huge-corpus budgets.
+        self._impact_storage = impact_storage
         # TPU-native serving knob: MXU passes for the f32 frequent-term
         # matmul. "high" (3 passes, the default) keeps scores within
         # ~1e-5 relative of "highest" (6 passes, bit-equal to the
@@ -175,6 +193,7 @@ class BayesianBM25Scorer:
         # ~4e-4, the tolerance class of the automatic bf16 storage at
         # >=256k docs. tf/presence math is exact under every setting.
         self._matmul_precision = _MATMUL_PRECISIONS[matmul_precision]
+        self._matmul_precision_name = matmul_precision
         self._k1 = k1
         self._b = b
         self._method = method
@@ -216,8 +235,14 @@ class BayesianBM25Scorer:
         idx = self._index
         D_pad = idx.term_ids.shape[0]
         use_bf16 = D_pad >= self._SPLIT_BF16_MIN_DOCS
-        storage = "bf16" if use_bf16 else self._split_storage()
-        bytes_per_col = D_pad * ((2 + 2) if use_bf16 else (4 + 2))
+        if self._impact_storage is not None:
+            storage = self._impact_storage
+        else:
+            storage = "bf16" if use_bf16 else self._split_storage()
+        # Bytes per K column: impact pair (int8 hi+lo = 2, hilo bf16
+        # pair = 4, single bf16 = 2, f32 = 4) + bf16 presence (2).
+        impact_bytes = {"int8": 2, "hilo": 4, "bf16": 2}.get(storage, 4)
+        bytes_per_col = D_pad * (impact_bytes + 2)
         k_budget = self._SPLIT_BUDGET_BYTES // max(bytes_per_col, 1)
         # K=2048 is the measured sweet spot at 50k docs (sparse-candidate
         # kernel 62 ms/4096-query batch; K=1024 regresses to 85 ms as
@@ -740,6 +765,8 @@ class BayesianBM25Scorer:
                         pallas_gather=use_pg,
                         tf_from_sign=s.post_w_positive,
                         compact=comp, compact_rmax=r_max,
+                        impact_scale=s.impact_scale,
+                        q_int8_ok=sidx._q_int8_ok(s, fcnt),
                     )
                 )
             else:
@@ -752,6 +779,8 @@ class BayesianBM25Scorer:
                     approx=approx, overflow=sidx._overflow_of(s),
                     precision=self._matmul_precision, doc_mask=doc_mask,
                     impact_lo=s.dense_impact_lo,
+                    impact_scale=s.impact_scale,
+                    q_int8_ok=sidx._q_int8_ok(s, enc[1]),
                 )
             top_ids = top_ids[:nq]
             probs = probs[:nq]
@@ -968,6 +997,8 @@ class BayesianBM25Scorer:
                 overflow=sidx._overflow_of(s),
                 precision=self._matmul_precision,
                 impact_lo=s.dense_impact_lo,
+                impact_scale=s.impact_scale,
+                q_int8_ok=sidx._q_int8_ok(s, enc[1]),
             )
         qids, qcnt = self._encode(query_tokens_batch)
         probs, _, _ = scoring.probabilities_all(

@@ -106,11 +106,16 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
             from bayesian_bm25_tpu.engine import split_index as sidx
 
             # Overflow tables index docs globally — fold them away by
-            # rebuilding without overflow when present.
-            if s.over_term_ids is not None:
+            # rebuilding without overflow when present. int8 storage is
+            # single-chip-only for now (the per-doc scale would need its
+            # own sharded operand in every retrieve body); rebuild as
+            # hilo — same 2-pass exact-operand structure, ~8e-6 error.
+            if s.over_term_ids is not None or s.impact_scale is not None:
                 storage = ("hilo" if s.dense_impact_lo is not None else
                            "bf16" if s.dense_impact.dtype == jnp.bfloat16
                            else "f32")
+                if s.impact_scale is not None:
+                    storage = "hilo"
                 self._split = s = sidx.build_split_index(
                     idx, n_frequent=s.n_frequent, enable_overflow=False,
                     storage=storage)

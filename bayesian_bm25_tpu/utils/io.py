@@ -145,6 +145,13 @@ def save_scorer(path: str, scorer) -> None:
             str(scorer._tok_opts.get("remove_stopwords", True)),
             str(scorer._tok_opts.get("stem", True)),
         ]),
+        # Kernel config: the split accelerator is rebuilt on load, so
+        # storage/precision must survive or a checkpoint silently
+        # changes its numeric class ("" = default/None).
+        kernel_cfg=np.array([
+            scorer._matmul_precision_name,
+            scorer._impact_storage or "",
+        ]),
     )
 
 
@@ -176,10 +183,16 @@ def load_scorer(path: str):
         terms = text.split("\n") if text else []
     vocab = {tok: i for i, tok in enumerate(terms)}
 
+    kernel_kw = {}
+    if "kernel_cfg" in data:  # v<=3 archives predate kernel_cfg
+        raw = [str(x) for x in np.asarray(data["kernel_cfg"])]
+        kernel_kw = dict(matmul_precision=raw[0],
+                         impact_storage=raw[1] or None)
     scorer = BayesianBM25Scorer(
         k1=float(data["k1"]), b=float(data["b"]),
         method=str(data["method"][0]),
         base_rate_method=str(data["base_rate_method"][0]),
+        **kernel_kw,
     )
     # Decompress each table once; keep the numpy copy as the host
     # mirror so the split-accelerator rebuild below never pulls the
