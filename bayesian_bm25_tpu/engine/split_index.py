@@ -574,6 +574,11 @@ def _impact_matmul(qvec, impact, impact_lo, precision, scale=None,
     in-kernel and runs one f32 dot — correct at any count, ~2 extra
     HBM passes over the (D, K) pair.
     """
+    if impact.dtype == jnp.int8 and scale is None:
+        raise ValueError(
+            "int8 impact matrices require their per-doc impact_scale — "
+            "a caller forgot to thread it (scores would be silently "
+            "unscaled)")
     if scale is not None:
         if q_int8_ok:
             qi = qvec.astype(jnp.int8)

@@ -274,12 +274,30 @@ def shard_split_index_arrays(mesh: Mesh, split):
 
 def _lo_operand(mesh: Mesh, dense_impact, impact_lo):
     """The hi/lo residual as a shard_map operand: the real (D_pad, K)
-    bf16 matrix under hilo storage, or a zero-width (D_pad, 0) sentinel
+    matrix under hilo/int8 storage, or a zero-width (D_pad, 0) sentinel
     (sharding metadata only — _impact_matmul branches on the static
     width, so the sentinel is never touched)."""
     if impact_lo is not None:
         return impact_lo
     return jnp.zeros((dense_impact.shape[0], 0), jnp.bfloat16)
+
+
+def _scale_operand(impact_scale):
+    """Per-doc int8 dequantization scales as a shard_map operand: the
+    real (2, D_pad) f32 array under int8 storage (doc axis sharded), or
+    a zero-width (2, 0) sentinel — bodies branch on the static width."""
+    if impact_scale is not None:
+        return impact_scale
+    return jnp.zeros((2, 0), jnp.float32)
+
+
+def _int8_ok(impact_scale, fcnt) -> bool:
+    """Host-side: batch query counts fit int8 (the near-universal case).
+    Only consulted under int8 storage; False routes the shard bodies to
+    the dequantizing f32 fallback."""
+    if impact_scale is None:
+        return True
+    return float(np.asarray(fcnt).max(initial=0.0)) <= 127.0
 
 
 def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
@@ -291,7 +309,8 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
                                 prior_free: bool = False,
                                 return_tfs: bool = False,
                                 precision=jax.lax.Precision.HIGHEST,
-                                doc_mask=None, impact_lo=None):
+                                doc_mask=None, impact_lo=None,
+                                impact_scale=None):
     """Distributed top-k over the frequency-split index.
 
     The frequent-term matmul shards trivially over the doc axis (each shard
@@ -301,7 +320,8 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
     config); scalars travel as operands.
     """
     body = _split_retrieve_body(mesh, k, n_docs, bool(prior_free),
-                                precision, base_rate is not None)
+                                precision, base_rate is not None,
+                                _int8_ok(impact_scale, fcnt))
     D_pad = dense_impact.shape[0]
     if doc_mask is None:
         mask_pad = jnp.ones((D_pad,), bool)
@@ -312,6 +332,7 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
     mask_pad = jax.device_put(mask_pad, NamedSharding(mesh, P("d")))
     f32 = jnp.float32
     out = body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
+               _scale_operand(impact_scale),
                dense_presence, tail_ids, tail_w, doc_lengths,
                jnp.asarray(fslots), jnp.asarray(fcnt),
                jnp.asarray(tail_rows), jnp.asarray(tail_qids),
@@ -326,26 +347,28 @@ def sharded_retrieve_topk_split(mesh: Mesh, dense_impact, dense_presence,
 
 @functools.lru_cache(maxsize=None)
 def _split_retrieve_body(mesh, k, n_docs, prior_free, precision,
-                         has_base_rate):
+                         has_base_rate, q_int8_ok=True):
     from bayesian_bm25_tpu.engine.split_index import (
         _densify_queries, _impact_matmul)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
-                  P("d", None), P("d"), P(None, None), P(None, None),
-                  P(None), P(None, None), P(None, None), P("d"),
-                  P(), P(), P(), P()),
+        in_specs=(P("d", None), P("d", None), P(None, "d"), P("d", None),
+                  P("d", None), P("d", None), P("d"), P(None, None),
+                  P(None, None), P(None), P(None, None), P(None, None),
+                  P("d"), P(), P(), P(), P()),
         out_specs=(P(None, None), P(None, None), P(None, None),
                    P(None, None)),
         check_vma=False,
     )
-    def body(imp, lo, pres, tids, tw, dl, fs, fc, trow, tqi, tqc, mask,
-             alpha, beta, br, avgdl):
+    def body(imp, lo, sc, pres, tids, tw, dl, fs, fc, trow, tqi, tqc,
+             mask, alpha, beta, br, avgdl):
         nq = fs.shape[0]
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
-        scores = _impact_matmul(qvec, imp, lo, precision)
+        scores = _impact_matmul(qvec, imp, lo, precision,
+                                scale=sc if sc.shape[1] else None,
+                                q_int8_ok=q_int8_ok)
         t_scores, _ = _local_score(tids, tw, tqi, tqc)
         scores = scores.at[trow].add(t_scores)
         scores = jnp.where(mask[None, :], scores, -jnp.inf)
@@ -405,7 +428,8 @@ def sharded_retrieve_topk_split_sparse(
         n_docs: int | None = None, prior_free: bool = False,
         approx: bool = False, precision=jax.lax.Precision.HIGHEST,
         doc_mask=None, impact_lo=None, local_k: int | None = None,
-        tf_from_sign: bool = False, compact=None, compact_rmax: int = 0):
+        tf_from_sign: bool = False, compact=None, compact_rmax: int = 0,
+        impact_scale=None):
     """Distributed sparse-candidate exact top-k (the fastest single-chip
     kernel, doc-sharded): per shard, one MXU matmul + local leader
     selection + rare-postings merge against the SHARD-LOCAL postings
@@ -447,7 +471,8 @@ def sharded_retrieve_topk_split_sparse(
     rmax = compact_rmax if compact is not None else 0
     body = _sparse_retrieve_body(
         mesh, k, lk, cand_cap, n_real, bool(prior_free), bool(approx),
-        precision, base_rate is not None, bool(tf_from_sign), rmax)
+        precision, base_rate is not None, bool(tf_from_sign), rmax,
+        _int8_ok(impact_scale, fcnt))
 
     # Sharded validity mask: real docs pass their doc_mask bit; global
     # pad docs always drop.
@@ -463,6 +488,7 @@ def sharded_retrieve_topk_split_sparse(
     cpk = (jnp.asarray(compact) if rmax
            else jnp.zeros((3, 1), jnp.int32))
     return body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
+                _scale_operand(impact_scale),
                 dense_presence, post_ids_sh, post_w_sh, doc_lengths,
                 jnp.asarray(fslots), jnp.asarray(fcnt),
                 jnp.asarray(tail_rows), jnp.asarray(tail_slots),
@@ -475,7 +501,8 @@ def sharded_retrieve_topk_split_sparse(
 @functools.lru_cache(maxsize=None)
 def _sparse_retrieve_body(mesh, k, lk, cand_cap, n_real, prior_free,
                           approx, precision, has_base_rate,
-                          tf_from_sign=False, compact_rmax=0):
+                          tf_from_sign=False, compact_rmax=0,
+                          q_int8_ok=True):
     """Compiled per-shard sparse retrieve, cached on the static config
     (mesh + shape/selection parameters). Scalars are operands;
     ``compact_rmax`` > 0 switches the merge to the rank-packed
@@ -486,7 +513,7 @@ def _sparse_retrieve_body(mesh, k, lk, cand_cap, n_real, prior_free,
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("d", None), P("d", None), P("d", None),
+        in_specs=(P("d", None), P("d", None), P(None, "d"), P("d", None),
                   P("d", None, None), P("d", None, None), P("d"),
                   P(None, None), P(None, None), P(None), P(None, None),
                   P(None, None), P(None, None), P("d"),
@@ -495,12 +522,14 @@ def _sparse_retrieve_body(mesh, k, lk, cand_cap, n_real, prior_free,
                    P(None, None)),
         check_vma=False,
     )
-    def body(imp, lo, pres, pid3, pw3, dl, fs, fc, trow, tsl, tqc,
+    def body(imp, lo, sc, pres, pid3, pw3, dl, fs, fc, trow, tsl, tqc,
              cpk, mask, alpha, beta, br, avgdl):
         pid = pid3[0]
         pw = pw3[0]
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
-        scores = _impact_matmul(qvec, imp, lo, precision)
+        scores = _impact_matmul(qvec, imp, lo, precision,
+                                scale=sc if sc.shape[1] else None,
+                                q_int8_ok=q_int8_ok)
         D_local = imp.shape[0]
         off = jax.lax.axis_index("d") * D_local
         # Global pad docs and doc_mask both arrive via the sharded mask;
@@ -557,7 +586,7 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
                                    prior_free: bool = False,
                                    precision=jax.lax.Precision.HIGHEST,
                                    impact_lo=None, approx: bool = False,
-                                   doc_mask=None):
+                                   doc_mask=None, impact_scale=None):
     """Frequency-split top-k on a (query x document) 2-D mesh.
 
     The dp x tp analogue on the production kernel: the query batch shards
@@ -571,7 +600,8 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
     """
     body = _split_retrieve_2d_body(mesh, k, n_docs, bool(prior_free),
                                    precision, bool(approx),
-                                   base_rate is not None)
+                                   base_rate is not None,
+                                   _int8_ok(impact_scale, fcnt))
     D_pad = dense_impact.shape[0]
     col = np.arange(D_pad)
     base_mask = col < (n_docs if n_docs is not None else D_pad)
@@ -583,6 +613,7 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
                               NamedSharding(mesh, P("d")))
     f32 = jnp.float32
     out = body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
+               _scale_operand(impact_scale),
                dense_presence, tail_ids, tail_w, doc_lengths,
                jnp.asarray(fslots), jnp.asarray(fcnt),
                jnp.asarray(tail_rows), jnp.asarray(tail_qids),
@@ -595,23 +626,26 @@ def sharded_retrieve_topk_split_2d(mesh: Mesh, dense_impact, dense_presence,
 
 @functools.lru_cache(maxsize=None)
 def _split_retrieve_2d_body(mesh, k, n_docs, prior_free, precision, approx,
-                            has_base_rate):
+                            has_base_rate, q_int8_ok=True):
     from bayesian_bm25_tpu.engine.split_index import (
         _densify_queries, _impact_matmul)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
-                  P("d", None), P("d"), P("q", None), P("q", None), P(None),
-                  P(None, None), P(None, None), P("d"), P(), P(), P(), P()),
+        in_specs=(P("d", None), P("d", None), P(None, "d"), P("d", None),
+                  P("d", None), P("d", None), P("d"), P("q", None),
+                  P("q", None), P(None), P(None, None), P(None, None),
+                  P("d"), P(), P(), P(), P()),
         out_specs=(P("q", None), P("q", None), P("q", None), P("q", None)),
         check_vma=False,
     )
-    def body(imp, lo, pres, tids, tw, dl, fs, fc, trow, tqi, tqc, mask,
-             alpha, beta, br, avgdl):
+    def body(imp, lo, sc, pres, tids, tw, dl, fs, fc, trow, tqi, tqc,
+             mask, alpha, beta, br, avgdl):
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
-        scores = _impact_matmul(qvec, imp, lo, precision)
+        scores = _impact_matmul(qvec, imp, lo, precision,
+                                scale=sc if sc.shape[1] else None,
+                                q_int8_ok=q_int8_ok)
         tfs = jnp.dot(qpres.astype(pres.dtype), pres.T,
                       preferred_element_type=jnp.float32)
         t_scores, t_tfs = _local_score(tids, tw, tqi, tqc)
@@ -707,14 +741,16 @@ def sharded_scores_all_split(mesh: Mesh, dense_impact, dense_presence,
                              tail_ids, tail_w, fslots, fcnt, tail_rows,
                              tail_qids, tail_qcnt,
                              precision=jax.lax.Precision.HIGHEST,
-                             impact_lo=None):
+                             impact_lo=None, impact_scale=None):
     """Dense (nq, D) scores + tf via the frequency-split kernel, sharded
     over the document axis (axis 1 of the outputs). Bit-identical per
     element to the single-chip split kernel: each shard's matmul computes
     the same row dot products, and the tail compare adds locally.
     Compiled program cached per (mesh, precision)."""
-    body = _scores_all_split_body(mesh, precision)
+    body = _scores_all_split_body(mesh, precision,
+                                  _int8_ok(impact_scale, fcnt))
     return body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
+                _scale_operand(impact_scale),
                 dense_presence, tail_ids, tail_w,
                 jnp.asarray(fslots), jnp.asarray(fcnt),
                 jnp.asarray(tail_rows), jnp.asarray(tail_qids),
@@ -722,21 +758,23 @@ def sharded_scores_all_split(mesh: Mesh, dense_impact, dense_presence,
 
 
 @functools.lru_cache(maxsize=None)
-def _scores_all_split_body(mesh, precision):
+def _scores_all_split_body(mesh, precision, q_int8_ok=True):
     from bayesian_bm25_tpu.engine.split_index import (
         _densify_queries, _impact_matmul)
 
     @partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
-                  P("d", None), P(None, None), P(None, None), P(None),
-                  P(None, None), P(None, None)),
+        in_specs=(P("d", None), P("d", None), P(None, "d"), P("d", None),
+                  P("d", None), P("d", None), P(None, None), P(None, None),
+                  P(None), P(None, None), P(None, None)),
         out_specs=(P(None, "d"), P(None, "d")),
         check_vma=False,
     )
-    def body(imp, lo, pres, tids, tw, fs, fc, trow, tqi, tqc):
+    def body(imp, lo, sc, pres, tids, tw, fs, fc, trow, tqi, tqc):
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
-        scores = _impact_matmul(qvec, imp, lo, precision)
+        scores = _impact_matmul(qvec, imp, lo, precision,
+                                scale=sc if sc.shape[1] else None,
+                                q_int8_ok=q_int8_ok)
         tfs = jnp.dot(qpres.astype(pres.dtype), pres.T,
                       preferred_element_type=jnp.float32)
         t_scores, t_tfs = _local_score(tids, tw, tqi, tqc)
@@ -876,7 +914,7 @@ def sharded_train_step_split(mesh: Mesh, dense_impact, dense_presence,
                              tail_qids, tail_qcnt, labels, alpha, beta,
                              learning_rate: float = 0.01,
                              precision=jax.lax.Precision.HIGHEST,
-                             impact_lo=None):
+                             impact_lo=None, impact_scale=None):
     """sharded_train_step on the frequency-split scoring path.
 
     Same psum'd-BCE GD step, but the per-shard scores come from the
@@ -888,16 +926,20 @@ def sharded_train_step_split(mesh: Mesh, dense_impact, dense_presence,
     from bayesian_bm25_tpu.engine.split_index import (
         _densify_queries, _impact_matmul)
 
+    q_int8_ok = _int8_ok(impact_scale, fcnt)
+
     @partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P("d", None), P("d", None), P("d", None), P("d", None),
-                  P("d", None), P(None, None), P(None, None), P(None),
-                  P(None, None), P(None, None), P(None, "d")),
+        in_specs=(P("d", None), P("d", None), P(None, "d"), P("d", None),
+                  P("d", None), P("d", None), P(None, None), P(None, None),
+                  P(None), P(None, None), P(None, None), P(None, "d")),
         out_specs=(P(), P(), P()),
     )
-    def body(imp, lo, pres, tids, tw, fs, fc, trow, tqi, tqc, y):
+    def body(imp, lo, sc, pres, tids, tw, fs, fc, trow, tqi, tqc, y):
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
-        scores = _impact_matmul(qvec, imp, lo, precision)
+        scores = _impact_matmul(qvec, imp, lo, precision,
+                                scale=sc if sc.shape[1] else None,
+                                q_int8_ok=q_int8_ok)
         t_scores, _ = _local_score(tids, tw, tqi, tqc)
         scores = scores.at[trow].add(t_scores)
 
@@ -914,6 +956,7 @@ def sharded_train_step_split(mesh: Mesh, dense_impact, dense_presence,
         return alpha - learning_rate * g_a, beta - learning_rate * g_b, loss
 
     return body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
+                _scale_operand(impact_scale),
                 dense_presence, tail_ids, tail_w,
                 jnp.asarray(fslots), jnp.asarray(fcnt),
                 jnp.asarray(tail_rows), jnp.asarray(tail_qids),

@@ -106,16 +106,12 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
             from bayesian_bm25_tpu.engine import split_index as sidx
 
             # Overflow tables index docs globally — fold them away by
-            # rebuilding without overflow when present. int8 storage is
-            # single-chip-only for now (the per-doc scale would need its
-            # own sharded operand in every retrieve body); rebuild as
-            # hilo — same 2-pass exact-operand structure, ~8e-6 error.
-            if s.over_term_ids is not None or s.impact_scale is not None:
-                storage = ("hilo" if s.dense_impact_lo is not None else
+            # rebuilding without overflow when present.
+            if s.over_term_ids is not None:
+                storage = ("int8" if s.impact_scale is not None else
+                           "hilo" if s.dense_impact_lo is not None else
                            "bf16" if s.dense_impact.dtype == jnp.bfloat16
                            else "f32")
-                if s.impact_scale is not None:
-                    storage = "hilo"
                 self._split = s = sidx.build_split_index(
                     idx, n_frequent=s.n_frequent, enable_overflow=False,
                     storage=storage)
@@ -137,6 +133,12 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
             s.tail_weights = jax.device_put(s.tail_weights, ds)
             if s.dense_impact_lo is not None:
                 s.dense_impact_lo = jax.device_put(s.dense_impact_lo, ds)
+            if s.impact_scale is not None:
+                # (2, D_pad) per-doc scales shard along the doc axis,
+                # matching the score-column layout inside the bodies.
+                s.impact_scale = jax.device_put(
+                    s.impact_scale,
+                    NamedSharding(self._mesh, P(None, "d")))
 
     def index_texts(self, texts, *, lowercase: bool = True,
                     remove_stopwords: bool = True, stem: bool = True) -> None:
@@ -194,7 +196,7 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                     n_docs=idx.n_docs, prior_free=prior_free,
                     precision=self._matmul_precision,
                     impact_lo=s.dense_impact_lo, approx=approx,
-                    doc_mask=doc_mask,
+                    doc_mask=doc_mask, impact_scale=s.impact_scale,
                 )
             )
             doc_ids = np.asarray(top_ids)[:nq]
@@ -241,6 +243,7 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                     doc_mask=doc_mask, impact_lo=s.dense_impact_lo,
                     tf_from_sign=s.post_w_positive,
                     compact=comp, compact_rmax=r_max,
+                    impact_scale=s.impact_scale,
                 )
             )
         elif self._split is not None:
@@ -255,6 +258,7 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                     n_docs=idx.n_docs, prior_free=prior_free,
                     return_tfs=True, precision=self._matmul_precision,
                     doc_mask=doc_mask, impact_lo=s.dense_impact_lo,
+                    impact_scale=s.impact_scale,
                 )
             )
         else:
@@ -303,7 +307,8 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                 self._mesh, s.dense_impact, s.dense_presence,
                 s.tail_term_ids, s.tail_weights, *enc,
                 precision=self._matmul_precision,
-                impact_lo=s.dense_impact_lo)
+                impact_lo=s.dense_impact_lo,
+                impact_scale=s.impact_scale)
         qids, qcnt = self._encode(query_tokens_batch)
         return sharded.sharded_scores_all(
             self._mesh, idx.term_ids, idx.weights,

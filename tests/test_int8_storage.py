@@ -199,27 +199,65 @@ class TestCheckpoint:
         assert load_scorer(path)._matmul_precision_name == "highest"
 
 
-class TestShardedFallback:
-    @pytest.mark.skipif(len(jax.devices()) < 8,
-                        reason="needs 8 virtual devices")
-    def test_sharded_int8_degrades_to_hilo(self):
-        """int8 is single-chip-only for now: the sharded scorer rebuilds
-        the split as hilo and retrieval matches the sharded hilo scorer
-        bit-for-bit."""
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 virtual devices")
+class TestShardedInt8:
+    """Sharded int8 vs single-chip int8: ids/ordering/scores bit-exact
+    (integer dots are order-free, so per-shard score slabs match the
+    single-chip columns bit-for-bit — stronger than the last-ulp story
+    of the float storages); probabilities to last-ulp (scalar
+    operands)."""
+
+    def _pair(self, rng):
         from bayesian_bm25_tpu import ShardedBayesianBM25Scorer
-        rng = np.random.default_rng(17)
         corpus = _corpus(rng, n_docs=300, vocab=500)
-        queries = [corpus[i][:5] for i in range(0, 50, 7)]
+        single = BayesianBM25Scorer(base_rate="auto",
+                                    impact_storage="int8")
+        single.index(corpus, show_progress=False)
         sh8 = ShardedBayesianBM25Scorer(
             base_rate="auto", n_devices=8, impact_storage="int8")
         sh8.index(corpus, show_progress=False)
-        assert sh8._split.impact_scale is None  # degraded
-        assert sh8._split.dense_impact_lo is not None  # hilo pair
-        sh = ShardedBayesianBM25Scorer(base_rate="auto", n_devices=8)
-        sh.index(corpus, show_progress=False)
-        ids_a, probs_a = sh8.retrieve(queries, k=7)
-        ids_b, probs_b = sh.retrieve(queries, k=7)
+        return single, sh8, corpus
+
+    def test_retrieve_bit_exact(self):
+        rng = np.random.default_rng(17)
+        single, sh8, corpus = self._pair(rng)
+        assert sh8._split.impact_scale is not None
+        queries = [corpus[i][:5] for i in range(0, 50, 7)]
+        queries += [[], ["zzz_oov"], ["t7"] * 200]  # incl. int8 fallback
+        ids_a, probs_a = single.retrieve(queries, k=7)
+        ids_b, probs_b = sh8.retrieve(queries, k=7)
+        # ids/ordering exact (integer dots are order-free, so per-shard
+        # score slabs match the single-chip columns bit-for-bit);
+        # probabilities agree to last-ulp — the sharded bodies take
+        # alpha/beta as f32 operands rather than baked constants.
         np.testing.assert_array_equal(np.asarray(ids_a),
                                       np.asarray(ids_b))
-        np.testing.assert_array_equal(np.asarray(probs_a),
-                                      np.asarray(probs_b))
+        np.testing.assert_allclose(np.asarray(probs_a),
+                                   np.asarray(probs_b), rtol=5e-7)
+
+    def test_scores_bit_exact(self):
+        rng = np.random.default_rng(23)
+        single, sh8, corpus = self._pair(rng)
+        queries = [corpus[i][:4] for i in range(0, 30, 5)]
+        a = single.get_scores_batch(queries)
+        b = sh8.get_scores_batch(queries)
+        np.testing.assert_array_equal(a, b)
+
+    def test_2d_mesh_int8(self):
+        from bayesian_bm25_tpu import ShardedBayesianBM25Scorer
+        rng = np.random.default_rng(31)
+        corpus = _corpus(rng, n_docs=300, vocab=500)
+        single = BayesianBM25Scorer(base_rate="auto",
+                                    impact_storage="int8")
+        single.index(corpus, show_progress=False)
+        sh = ShardedBayesianBM25Scorer(
+            base_rate="auto", mesh_shape=(2, 4), impact_storage="int8")
+        sh.index(corpus, show_progress=False)
+        queries = [corpus[i][:5] for i in range(0, 40, 7)]
+        ids_a, probs_a = single.retrieve(queries, k=6)
+        ids_b, probs_b = sh.retrieve(queries, k=6)
+        np.testing.assert_array_equal(np.asarray(ids_a),
+                                      np.asarray(ids_b))
+        np.testing.assert_allclose(np.asarray(probs_a),
+                                   np.asarray(probs_b), rtol=1e-6)
