@@ -163,8 +163,18 @@ def _decode_tok_opt(v: str):
     return v
 
 
-def load_scorer(path: str):
-    """Reconstruct a scorer saved by ``save_scorer``."""
+def load_scorer(path: str, *, mesh=None, n_devices: int | None = None,
+                mesh_shape: tuple[int, int] | None = None):
+    """Reconstruct a scorer saved by ``save_scorer``.
+
+    Pass ``mesh`` / ``n_devices`` / ``mesh_shape`` to load the checkpoint
+    straight into a :class:`ShardedBayesianBM25Scorer` (multi-chip
+    serving from a single-chip checkpoint — the archive format is
+    identical). The document axis is re-padded host-side when the
+    archived padding doesn't divide the mesh (pad rows use the build
+    conventions: term id -1, weight 0, doc length avgdl), so any mesh
+    size works with any archive.
+    """
     import jax.numpy as jnp
 
     from bayesian_bm25_tpu.engine.index import BM25Index
@@ -188,18 +198,47 @@ def load_scorer(path: str):
         raw = [str(x) for x in np.asarray(data["kernel_cfg"])]
         kernel_kw = dict(matmul_precision=raw[0],
                          impact_storage=raw[1] or None)
-    scorer = BayesianBM25Scorer(
-        k1=float(data["k1"]), b=float(data["b"]),
-        method=str(data["method"][0]),
-        base_rate_method=str(data["base_rate_method"][0]),
-        **kernel_kw,
-    )
+    if mesh is not None or n_devices is not None or mesh_shape is not None:
+        from bayesian_bm25_tpu.parallel.sharded_scorer import (
+            ShardedBayesianBM25Scorer)
+
+        scorer = ShardedBayesianBM25Scorer(
+            k1=float(data["k1"]), b=float(data["b"]),
+            method=str(data["method"][0]),
+            base_rate_method=str(data["base_rate_method"][0]),
+            mesh=mesh, n_devices=n_devices, mesh_shape=mesh_shape,
+            **kernel_kw,
+        )
+    else:
+        scorer = BayesianBM25Scorer(
+            k1=float(data["k1"]), b=float(data["b"]),
+            method=str(data["method"][0]),
+            base_rate_method=str(data["base_rate_method"][0]),
+            **kernel_kw,
+        )
     # Decompress each table once; keep the numpy copy as the host
     # mirror so the split-accelerator rebuild below never pulls the
     # device tables back over the link (a ~1 GB D2H on large corpora).
     term_ids = np.asarray(data["term_ids"])
     weights = np.asarray(data["weights"])
     doc_lengths = np.asarray(data["doc_lengths"])
+    # Sharded meshes need the doc axis to divide the mesh; re-pad with
+    # build-convention rows when the archived padding doesn't.
+    pad_to = scorer._doc_pad_multiple()
+    D_pad = term_ids.shape[0]
+    if D_pad % pad_to:
+        D_new = ((D_pad + pad_to - 1) // pad_to) * pad_to
+        extra = D_new - D_pad
+        term_ids = np.concatenate(
+            [term_ids, np.full((extra, term_ids.shape[1]),
+                               -1, term_ids.dtype)])
+        weights = np.concatenate(
+            [weights, np.zeros((extra, weights.shape[1]),
+                               weights.dtype)])
+        doc_lengths = np.concatenate(
+            [doc_lengths,
+             np.full(extra, max(float(data["avgdl"]), 1.0),
+                     doc_lengths.dtype)])
     scorer._index = BM25Index(
         k1=float(data["k1"]), b=float(data["b"]),
         method=str(data["method"][0]), vocab=vocab,
@@ -215,6 +254,7 @@ def load_scorer(path: str):
         doc_lengths_host=doc_lengths,
     )
     scorer._maybe_build_split()
+    scorer._finalize_index()  # sharded scorers re-place over their mesh
     br = float(data["base_rate"])
     scorer._transform = BayesianProbabilityTransform(
         alpha=float(data["alpha"]), beta=float(data["beta"]),

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+import jax
+
 from bayesian_bm25_tpu import (
     AttentionLogOddsWeights,
     BayesianProbabilityTransform,
@@ -166,6 +168,90 @@ class TestScorerCheckpoint:
         assert isinstance(idx.doc_lengths_host, np.ndarray)
         np.testing.assert_array_equal(idx.term_ids_host,
                                       np.asarray(idx.term_ids))
+
+
+class TestShardedLoad:
+    """load_scorer(n_devices=/mesh_shape=) restores a checkpoint into a
+    ShardedBayesianBM25Scorer: multi-chip serving from a single-chip
+    archive, including doc-axis re-padding for meshes that don't divide
+    the archived padding."""
+
+    @pytest.fixture(scope="class")
+    def saved(self, tmp_path_factory):
+        import numpy as np
+
+        from bayesian_bm25_tpu import BayesianBM25Scorer
+        from bayesian_bm25_tpu.utils.io import save_scorer
+
+        rng = np.random.default_rng(41)
+        corpus = [[f"t{t}" for t in rng.zipf(1.4, size=30) % 600]
+                  for _ in range(250)]
+        queries = [corpus[i][:5] for i in range(0, 60, 9)] + [[], ["t599"]]
+        s = BayesianBM25Scorer(base_rate="auto")
+        s.index(corpus, show_progress=False)
+        path = str(tmp_path_factory.mktemp("ckpt") / "scorer.npz")
+        save_scorer(path, s)
+        return path, s, queries
+
+    @pytest.mark.skipif(len(jax.devices()) < 8,
+                        reason="needs 8 virtual devices")
+    def test_load_1d_mesh_matches_single(self, saved):
+        import numpy as np
+
+        from bayesian_bm25_tpu import ShardedBayesianBM25Scorer
+        from bayesian_bm25_tpu.utils.io import load_scorer
+
+        path, single, queries = saved
+        sh = load_scorer(path, n_devices=8)
+        assert isinstance(sh, ShardedBayesianBM25Scorer)
+        assert len(sh._index.term_ids.sharding.device_set) == 8
+        ids_a, probs_a = single.retrieve(queries, k=7)
+        ids_b, probs_b = sh.retrieve(queries, k=7)
+        np.testing.assert_array_equal(np.asarray(ids_a),
+                                      np.asarray(ids_b))
+        np.testing.assert_allclose(np.asarray(probs_a),
+                                   np.asarray(probs_b), rtol=1e-6)
+
+    @pytest.mark.skipif(len(jax.devices()) < 3,
+                        reason="needs 3 virtual devices")
+    def test_load_repads_non_dividing_mesh(self, saved):
+        import numpy as np
+
+        from bayesian_bm25_tpu.parallel.sharded import make_mesh
+        from bayesian_bm25_tpu.utils.io import load_scorer
+
+        path, single, queries = saved
+        sh = load_scorer(path, mesh=make_mesh(3))
+        D_pad = sh._index.term_ids.shape[0]
+        assert D_pad % 3 == 0  # re-padded to lcm(2048, 3)
+        assert sh.num_docs == single.num_docs
+        ids_a, _ = single.retrieve(queries, k=7)
+        ids_b, _ = sh.retrieve(queries, k=7)
+        np.testing.assert_array_equal(np.asarray(ids_a),
+                                      np.asarray(ids_b))
+
+    @pytest.mark.skipif(len(jax.devices()) < 8,
+                        reason="needs 8 virtual devices")
+    def test_load_int8_archive_sharded(self, tmp_path):
+        import numpy as np
+
+        from bayesian_bm25_tpu import BayesianBM25Scorer
+        from bayesian_bm25_tpu.utils.io import load_scorer, save_scorer
+
+        rng = np.random.default_rng(43)
+        corpus = [[f"t{t}" for t in rng.zipf(1.4, size=25) % 500]
+                  for _ in range(200)]
+        s = BayesianBM25Scorer(base_rate=0.03, impact_storage="int8")
+        s.index(corpus, show_progress=False)
+        path = str(tmp_path / "i8.npz")
+        save_scorer(path, s)
+        sh = load_scorer(path, n_devices=8)
+        assert sh._split.impact_scale is not None
+        queries = [corpus[i][:4] for i in range(0, 40, 7)]
+        ids_a, _ = s.retrieve(queries, k=6)
+        ids_b, _ = sh.retrieve(queries, k=6)
+        np.testing.assert_array_equal(np.asarray(ids_a),
+                                      np.asarray(ids_b))
 
 
 class TestTokOptsRoundTrip:
