@@ -199,6 +199,50 @@ class TestCheckpoint:
         assert load_scorer(path)._matmul_precision_name == "highest"
 
 
+class TestRankingMetricInvariance:
+    def test_mini_beir_ndcg_unchanged(self):
+        """Retrieval-quality invariance on the checked-in mini-BEIR
+        fixture: NDCG@5 under int8 storage equals the exact-storage
+        run to 1e-9 (int8's absolute-per-doc error only re-orders
+        exact ties, which NDCG scores identically)."""
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "benchmarks"))
+        from benchmarks.hybrid_beir import load_beir_dataset
+        from benchmarks.metrics import evaluate_run
+        from bayesian_bm25_tpu.engine.tokenize import tokenize_texts
+
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "benchmarks", "data",
+            "mini_beir")
+        if not os.path.isdir(root):
+            pytest.skip("mini_beir fixture missing")
+        ds = load_beir_dataset(root)
+        doc_ids = list(ds.corpus.keys())
+        corpus_tokens = tokenize_texts(
+            [ds.corpus[d] for d in doc_ids], stem="snowball")
+        qids = list(ds.queries.keys())
+        query_tokens = tokenize_texts(
+            [ds.queries[q] for q in qids], stem="snowball")
+
+        ndcg = {}
+        for storage in ("highest", "int8"):
+            kw = (dict(matmul_precision="highest") if storage == "highest"
+                  else dict(impact_storage="int8"))
+            s = BayesianBM25Scorer(base_rate="auto", **kw)
+            s.index(corpus_tokens, show_progress=False)
+            ids, probs = s.retrieve(query_tokens, k=5)
+            ids, probs = np.asarray(ids), np.asarray(probs)
+            run = {
+                q: {doc_ids[d]: float(probs[i, r])
+                    for r, d in enumerate(ids[i]) if d >= 0}
+                for i, q in enumerate(qids)
+            }
+            ndcg[storage] = evaluate_run(run, ds.qrels, k=5)["ndcg@5"]
+        assert ndcg["int8"] == pytest.approx(ndcg["highest"], abs=1e-9)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8,
                     reason="needs 8 virtual devices")
 class TestShardedInt8:
