@@ -690,6 +690,55 @@ class BayesianBM25Scorer:
                             np.concatenate([p[1] for p in pieces])))
         return out
 
+    def retrieve_stream(self, query_batches, k: int = 10,
+                        approx: bool = False, lookahead: int = 4):
+        """Latency-shaped pipelined serving: a generator yielding each
+        batch's (doc_ids, probabilities) as soon as it is pulled, while
+        keeping up to ``lookahead`` batches launched ahead on the
+        device. First results arrive after ONE batch's latency (vs
+        :meth:`retrieve_many`, which pulls everything in one packed
+        transfer at the end — higher throughput, all-at-once). Values
+        are identical to per-batch ``retrieve``.
+
+        ``query_batches`` may be any iterable (including a live request
+        generator); oversized batches auto-chunk like every other entry
+        point.
+        """
+        from collections import deque
+
+        chunk = self._auto_batch_size()
+        pending = deque()  # (n_parts_of_batch, [(pn, packed), ...])
+        it = iter(query_batches)
+
+        def launch(qb):
+            parts = ([qb] if len(qb) <= chunk else
+                     [qb[i:i + chunk] for i in range(0, len(qb), chunk)])
+            row = []
+            for part in parts:
+                pn, top_ids, probs, _, _ = self._retrieve_launch(
+                    part, k, approx, None)
+                row.append((pn, scoring.pack_ids_probs(top_ids, probs)))
+            return row
+
+        def pull(row):
+            pieces = [scoring.unpack_ids_probs(np.asarray(pk), pn)
+                      for pn, pk in row]
+            if len(pieces) == 1:
+                return pieces[0]
+            return (np.concatenate([p[0] for p in pieces]),
+                    np.concatenate([p[1] for p in pieces]))
+
+        exhausted = False
+        while True:
+            while not exhausted and len(pending) < max(lookahead, 1):
+                try:
+                    pending.append(launch(next(it)))
+                except StopIteration:
+                    exhausted = True
+            if not pending:
+                return
+            yield pull(pending.popleft())
+
     def _auto_batch_size(self) -> int:
         """Largest power-of-two query-chunk size whose (nq, D_pad) f32
         score matrix fits _SCORES_BUDGET_BYTES (floor 256, cap 8192)."""

@@ -226,6 +226,47 @@ class TestAutoBatchChunking:
             np.testing.assert_array_equal(ids, ref_ids)
             np.testing.assert_allclose(probs, ref_probs, rtol=0, atol=0)
 
+    def test_retrieve_stream_matches_retrieve(self):
+        rng = np.random.default_rng(6)
+        corpus = [[f"t{t}" for t in rng.zipf(1.4, size=20) % 400]
+                  for _ in range(300)]
+        batches = [[[f"t{t}" for t in rng.zipf(1.4, size=5) % 400]
+                    for _ in range(4)] for _ in range(5)]
+        batches[2] = []  # empty batch mid-stream
+        s = BayesianBM25Scorer(base_rate="auto")
+        s.index(corpus, show_progress=False)
+        # generator input + lookahead smaller than the batch count
+        outs = list(s.retrieve_stream((b for b in batches), k=5,
+                                      lookahead=2))
+        assert len(outs) == 5
+        for qb, (ids, probs) in zip(batches, outs):
+            ref_ids, ref_probs = s.retrieve(qb, k=5)
+            np.testing.assert_array_equal(ids, ref_ids)
+            np.testing.assert_allclose(probs, ref_probs, rtol=0, atol=0)
+
+    def test_retrieve_stream_is_lazy(self):
+        """The generator must not launch everything upfront: with
+        lookahead=1 only ~2 batches may be encoded before the first
+        yield is consumed."""
+        rng = np.random.default_rng(7)
+        corpus = [[f"t{t}" for t in rng.zipf(1.4, size=15) % 300]
+                  for _ in range(200)]
+        s = BayesianBM25Scorer(base_rate="auto")
+        s.index(corpus, show_progress=False)
+        consumed = []
+
+        def gen():
+            for i in range(6):
+                consumed.append(i)
+                yield [[f"t{i + 1}"]]
+
+        stream = s.retrieve_stream(gen(), k=3, lookahead=1)
+        assert consumed == []  # nothing pulled before first next()
+        next(stream)
+        assert len(consumed) <= 3
+        list(stream)
+        assert consumed == list(range(6))
+
     def test_retrieve_many_chunks_oversized_batches(self):
         rng = np.random.default_rng(5)
         corpus = [[f"t{t}" for t in rng.zipf(1.4, size=20) % 400]
