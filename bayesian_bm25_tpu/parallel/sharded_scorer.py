@@ -340,3 +340,10 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
         # concern. Loop for API parity.
         return [self.retrieve(qb, k=k, approx=approx)
                 for qb in query_batches]
+
+    def retrieve_stream(self, query_batches, k: int = 10,
+                        approx: bool = False, lookahead: int = 4):
+        # Same rationale as retrieve_many: yield per call, API parity.
+        del lookahead
+        for qb in query_batches:
+            yield self.retrieve(qb, k=k, approx=approx)
