@@ -255,6 +255,52 @@ class TestCompactBuild:
         assert (fq[3:] == 0).all()
 
 
+class TestCompactBuildFuzz:
+    """Multi-seed randomized bit-parity of the packed candidate build:
+    random corpus shapes, query mixes (empty/OOV/heavy-rare), ks, and
+    caps — every output must equal the dense build bit-for-bit."""
+
+    @pytest.mark.parametrize("seed", [11, 23, 37, 51])
+    def test_random_regimes(self, seed):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(seed)
+        n_docs = int(rng.integers(150, 700))
+        vocab = int(rng.integers(300, 3000))
+        corpus = [[f"t{t}" for t in rng.zipf(1.3 + 0.2 * rng.random(),
+                                             size=rng.integers(3, 50))
+                   % vocab] for _ in range(n_docs)]
+        idx = eidx.build_index(corpus)
+        split = sidx.build_split_index(
+            idx, n_frequent=int(rng.choice([128, 256, 512])))
+        if split.post_doc_ids is None:
+            pytest.skip("no rare postings at this draw")
+        nq = int(rng.integers(2, 20))
+        queries = [[f"t{t}" for t in rng.zipf(1.35, size=rng.integers(1, 9))
+                    % vocab] for _ in range(nq)]
+        queries += [[], ["zz_oov"]]
+        k = int(rng.integers(1, 12))
+        enc = sidx.encode_queries_split(queries, split)
+        fslots, fcnt, trows, tqids, tqcnt = enc
+        tslots = sidx.map_tail_slots(tqids, split)
+        cap = sidx.candidate_cap(split, tslots, k)
+        R = split.post_doc_ids.shape[0] - 1
+        packed, r_max = sidx.compact_tail_postings(tslots, tqcnt, R)
+        common = (split.dense_impact, split.dense_presence,
+                  split.post_doc_ids, split.post_weights,
+                  idx.doc_lengths, idx.avgdl,
+                  jnp.asarray(fslots), jnp.asarray(fcnt),
+                  jnp.asarray(trows), jnp.asarray(tslots),
+                  jnp.asarray(tqcnt), k, cap, 1.0, 2.0, 0.05)
+        kw = dict(n_docs=idx.n_docs, impact_lo=split.dense_impact_lo,
+                  tf_from_sign=split.post_w_positive)
+        dense = sidx.retrieve_topk_split_sparse(*common, **kw)
+        comp = sidx.retrieve_topk_split_sparse(
+            *common, **kw, compact=jnp.asarray(packed),
+            compact_rmax=r_max)
+        for a, b in zip(dense, comp):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestPackedBuildScorerPath:
     """End-to-end scorer retrieval must be identical with the packed
     candidate build on and off (the flag only changes the build
