@@ -209,6 +209,10 @@ class BayesianBM25Scorer:
         # queries identically or vocab lookups silently miss.
         self._tok_opts = dict(lowercase=True, remove_stopwords=True,
                               stem=True)
+        # Tombstone mask (host bool, length num_docs, True = deleted):
+        # delete_documents excludes docs from every query path without
+        # rebuilding the index; None until a first delete.
+        self._deleted: np.ndarray | None = None
 
     # Split index is built when its dense matrices stay under this
     # budget (impact f32/bf16 + presence bf16, K columns x D_pad rows);
@@ -337,6 +341,7 @@ class BayesianBM25Scorer:
         device call.
         """
         del show_progress  # device build has no incremental progress
+        self._deleted = None  # fresh index, fresh lifecycle
         self._corpus_tokens = corpus_tokens
         self._index = self._build_index(corpus_tokens)
         self._maybe_build_split()
@@ -365,6 +370,7 @@ class BayesianBM25Scorer:
         """
         from bayesian_bm25_tpu.engine.tokenize import tokenize_texts
 
+        self._deleted = None  # fresh index, fresh lifecycle
         self._tok_opts = dict(lowercase=lowercase,
                               remove_stopwords=remove_stopwords, stem=stem)
         idx, corpus_tokens = eidx.build_index_from_texts(
@@ -581,7 +587,15 @@ class BayesianBM25Scorer:
                 self._index.term_ids, self._index.weights, qids, qcnt,
                 use_pallas=_use_pallas(),
             )
-        return np.asarray(scores)[:, : self._index.n_docs].astype(np.float64)
+        out = np.asarray(scores)[:, : self._index.n_docs].astype(np.float64)
+        return self._apply_deleted(out)
+
+    def _apply_deleted(self, dense: np.ndarray) -> np.ndarray:
+        """Zero tombstoned docs' columns in a dense (nq, num_docs)
+        score/probability array."""
+        if self._deleted is not None:
+            dense[:, self._deleted] = 0.0
+        return dense
 
     def get_scores(self, query_tokens: list[str]) -> np.ndarray:
         """Raw BM25 scores for one query over all docs (bm25s.get_scores
@@ -751,6 +765,50 @@ class BayesianBM25Scorer:
             b *= 2
         return b
 
+    def delete_documents(self, doc_ids) -> None:
+        """Tombstone documents: excluded from every query path (retrieve,
+        thresholded, scores, probabilities) without rebuilding the index.
+        Idempotent; TPU-native lifecycle extension (the reference
+        supports add_documents only). ``num_docs`` keeps counting
+        tombstoned docs — ids are stable."""
+        if self._index is None:
+            raise RuntimeError("Call index() before delete_documents().")
+        ids = np.asarray(list(doc_ids), dtype=np.int64)
+        if ids.size and (ids.min() < 0 or ids.max() >= self._index.n_docs):
+            raise ValueError(
+                f"doc ids must be in [0, {self._index.n_docs}), got "
+                f"range [{ids.min()}, {ids.max()}]")
+        if self._deleted is None:
+            self._deleted = np.zeros(self._index.n_docs, dtype=bool)
+        self._deleted[ids] = True
+
+    def restore_documents(self, doc_ids) -> None:
+        """Undo :meth:`delete_documents` for the given ids."""
+        if self._deleted is None:
+            return
+        ids = np.asarray(list(doc_ids), dtype=np.int64)
+        if ids.size and (ids.min() < 0 or ids.max() >= self._index.n_docs):
+            raise ValueError(
+                f"doc ids must be in [0, {self._index.n_docs}), got "
+                f"range [{ids.min()}, {ids.max()}]")
+        self._deleted[ids] = False
+        if not self._deleted.any():
+            self._deleted = None
+
+    @property
+    def deleted_mask(self) -> np.ndarray | None:
+        """Host bool mask of tombstoned docs (None when nothing is
+        deleted)."""
+        return None if self._deleted is None else self._deleted.copy()
+
+    def _combine_deleted(self, doc_mask):
+        """Merge the tombstone mask into a (validated numpy) caller
+        mask; returns numpy bool or None."""
+        if self._deleted is None:
+            return doc_mask
+        alive = ~self._deleted
+        return alive if doc_mask is None else (doc_mask & alive)
+
     def _retrieve_launch(self, query_tokens, k, approx, doc_mask):
         """Encode + dispatch the retrieval kernel; returns device arrays
         (no host sync): (nq, top_ids, probs, top_scores, top_tfs)."""
@@ -766,6 +824,8 @@ class BayesianBM25Scorer:
                 raise ValueError(
                     f"doc_mask must have shape ({idx.n_docs},), got "
                     f"{doc_mask.shape}")
+        doc_mask = self._combine_deleted(doc_mask)
+        if doc_mask is not None:
             doc_mask = jnp.asarray(doc_mask)
         if self._split is not None:
             from bayesian_bm25_tpu.engine import split_index as sidx
@@ -917,6 +977,7 @@ class BayesianBM25Scorer:
                 raise ValueError(
                     f"doc_mask must have shape ({idx.n_docs},), "
                     f"got {doc_mask.shape}")
+        doc_mask = self._combine_deleted(doc_mask)
 
         # WAND-pruned path: invert the certified probability bound to a
         # score prefilter (prior <= 0.9 by composite_prior's clip; 0.5
@@ -998,7 +1059,8 @@ class BayesianBM25Scorer:
         """
         nq = len(query_tokens_batch)
         probs = self._dense_probs_device(query_tokens_batch)
-        return np.asarray(probs[:nq]).astype(np.float64)
+        return self._apply_deleted(
+            np.asarray(probs[:nq]).astype(np.float64))
 
     def _dense_scores_tfs_device(self, query_tokens_batch):
         """Dense (scores, tfs) device arrays sliced to n_docs (the
@@ -1075,12 +1137,22 @@ class BayesianBM25Scorer:
             raise RuntimeError("Call index() before add_documents().")
         new_list = list(new_corpus_tokens)
         if self._index is None or self._index.term_counts_host is None:
+            deleted = self._deleted
             self.index(list(self._corpus_tokens) + new_list)
+            if deleted is not None:
+                # full-rebuild fallback keeps ids stable: restore the
+                # tombstones and mark the appended docs alive
+                self._deleted = np.concatenate(
+                    [deleted, np.zeros(len(new_list), dtype=bool)])
             return
         self._index = eidx.append_to_index(
             self._index, new_list,
             doc_pad_multiple=self._doc_pad_multiple())
         self._corpus_tokens = self._corpus_tokens + new_list
+        if self._deleted is not None:
+            # appended docs are alive; ids of existing docs are stable
+            self._deleted = np.concatenate(
+                [self._deleted, np.zeros(len(new_list), dtype=bool)])
         self._maybe_build_split()
         self._finalize_index()
         per_query_scores = self._sample_pseudo_query_scores(self._corpus_tokens)

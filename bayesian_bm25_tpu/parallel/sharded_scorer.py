@@ -180,6 +180,7 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                 raise ValueError(
                     f"doc_mask must have shape ({idx.n_docs},), got "
                     f"{doc_mask.shape}")
+        doc_mask = self._combine_deleted(doc_mask)
         prior_free = t._training_mode == "prior_free"
         if self._is_2d:
             if self._split is None:
@@ -319,7 +320,8 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
             raise RuntimeError("Call index() before scoring.")
         nq = len(query_tokens_batch)
         scores, _ = self._dense_scores_device(query_tokens_batch)
-        return np.asarray(scores)[:nq, : self._index.n_docs].astype(np.float64)
+        return self._apply_deleted(np.asarray(scores)[
+            :nq, : self._index.n_docs].astype(np.float64))
 
     def _dense_probs_device(self, query_tokens_batch):
         if self._transform is None:

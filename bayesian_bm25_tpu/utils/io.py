@@ -152,6 +152,11 @@ def save_scorer(path: str, scorer) -> None:
             scorer._matmul_precision_name,
             scorer._impact_storage or "",
         ]),
+        # Tombstoned doc ids (empty when nothing is deleted): the mask
+        # must survive a checkpoint or deleted docs silently reappear.
+        deleted_ids=(np.flatnonzero(scorer._deleted).astype(np.int64)
+                     if scorer._deleted is not None
+                     else np.zeros(0, np.int64)),
     )
 
 
@@ -268,6 +273,10 @@ def load_scorer(path: str, *, mesh=None, n_devices: int | None = None,
             remove_stopwords=_decode_tok_opt(raw[1]),
             stem=_decode_tok_opt(raw[2]),
         )
+    if "deleted_ids" in data:
+        ids = np.asarray(data["deleted_ids"])
+        if ids.size:
+            scorer.delete_documents(ids)
     return scorer
 
 
