@@ -132,6 +132,37 @@ class MultiFieldScorer:
         self._num_docs = len(ids)
         return list(ids)
 
+    def delete_documents(self, doc_ids) -> None:
+        """Tombstone documents across every field scorer: fused
+        probabilities become exactly 0 and the docs sort behind every
+        live candidate (ids stay stable; ``restore_documents`` undoes).
+        """
+        if not self._scorers:
+            raise RuntimeError("Call index() before delete_documents().")
+        for f in self._fields:
+            self._scorers[f].delete_documents(doc_ids)
+
+    def restore_documents(self, doc_ids) -> None:
+        """Undo :meth:`delete_documents` across every field scorer."""
+        if not self._scorers:
+            raise RuntimeError("Call index() before restore_documents().")
+        for f in self._fields:
+            self._scorers[f].restore_documents(doc_ids)
+
+    @property
+    def deleted_mask(self):
+        """Tombstone mask (None when nothing is deleted)."""
+        if not self._scorers:
+            return None
+        return self._scorers[self._fields[0]].deleted_mask
+
+    def _zero_deleted(self, fused: np.ndarray) -> np.ndarray:
+        mask = self.deleted_mask
+        if mask is not None:
+            fused = np.array(fused)  # jnp->np views arrive read-only
+            fused[..., mask] = 0.0
+        return fused
+
     def get_probabilities(self, query_tokens: list[str]) -> np.ndarray:
         """Fused probabilities for all documents (weighted Log-OP)."""
         if not self._scorers:
@@ -143,10 +174,10 @@ class MultiFieldScorer:
         weights = np.array(
             [self._field_weights[f] for f in self._fields], dtype=np.float64
         )
-        return np.asarray(log_odds_conjunction(
+        return self._zero_deleted(np.asarray(log_odds_conjunction(
             field_probs, alpha=resolve_alpha(self._alpha, default=0.5),
             weights=weights,
-        ))
+        )))
 
     def get_probabilities_batch(self, query_tokens_batch: list) -> np.ndarray:
         """Fused probabilities for a query batch: (nq, num_docs).
@@ -163,13 +194,14 @@ class MultiFieldScorer:
         weights = np.array(
             [self._field_weights[f] for f in self._fields], dtype=np.float64
         )
-        return np.asarray(log_odds_conjunction(
+        return self._zero_deleted(np.asarray(log_odds_conjunction(
             field_probs, alpha=resolve_alpha(self._alpha, default=0.5),
             weights=weights,
-        ))
+        )))
 
     def retrieve(self, query_tokens: list[str], k: int = 10):
-        """Top-k by fused probability (descending)."""
+        """Top-k by fused probability (descending); tombstoned docs
+        carry probability 0 and rank behind every live candidate."""
         probs = self.get_probabilities(query_tokens)
         k = min(k, len(probs))
         top = np.argsort(probs)[::-1][:k]

@@ -131,6 +131,29 @@ class TestLifecycle:
                                       np.asarray(s2.retrieve(q, k=5)[0]))
 
 
+class TestMultiFieldDelete:
+    def test_fused_zero_and_ranking(self):
+        from bayesian_bm25_tpu import MultiFieldScorer
+        rng = np.random.default_rng(21)
+        docs = [{"title": [f"t{t}" for t in rng.integers(0, 60, 4)],
+                 "body": [f"t{t}" for t in rng.integers(0, 200, 25)]}
+                for _ in range(80)]
+        mf = MultiFieldScorer(fields=["title", "body"])
+        mf.index(docs, show_progress=False)
+        q = docs[3]["body"][:5]
+        top0, probs0 = mf.retrieve(q, k=5)
+        victim = int(top0[0])
+        mf.delete_documents([victim])
+        top1, probs1 = mf.retrieve(q, k=5)
+        assert victim not in set(int(d) for d in top1)
+        assert mf.get_probabilities(q)[victim] == 0.0
+        assert mf.get_probabilities_batch([q])[0, victim] == 0.0
+        mf.restore_documents([victim])
+        assert mf.deleted_mask is None
+        top2, _ = mf.retrieve(q, k=5)
+        assert int(top2[0]) == victim
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8,
                     reason="needs 8 virtual devices")
 class TestShardedDelete:
