@@ -31,6 +31,10 @@ from benchmarks.utils import load_beir_dataset, synthetic_dataset  # noqa: E402
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--impact-storage", default=None,
+                    choices=["f32", "hilo", "bf16", "int8"],
+                    help="impact-matrix representation override "
+                         "(default: matmul_precision mapping)")
     args = ap.parse_args()
 
     ds = (load_beir_dataset(args.data_dir) if args.data_dir
@@ -43,7 +47,8 @@ def main():
     qids = list(ds.queries.keys())
     query_tokens = tokenize_texts([ds.queries[q] for q in qids])
 
-    scorer = BayesianBM25Scorer(method="lucene", base_rate="auto")
+    scorer = BayesianBM25Scorer(method="lucene", base_rate="auto",
+                                impact_storage=args.impact_storage)
     scorer.index(corpus_tokens, show_progress=False)
     scores_all = scorer.get_scores_batch(query_tokens)
     avgdl = scorer.avgdl
