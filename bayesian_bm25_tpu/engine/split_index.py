@@ -44,6 +44,12 @@ def _round_up(x: int, m: int) -> int:
 # path; packed engages only when it actually narrows the layout.
 PACKED_BUILD = True
 
+# Fused Pallas matmul+block-max for leader selection (engine/
+# pallas_matmul.py). Off until the TPU A/B proves it beats the
+# XLA-matmul + Pallas-reduce pair; flip after measuring
+# benchmarks/profiles/profile_fused_mm.py.
+FUSED_MM = False
+
 
 @dataclass
 class SplitBM25Index:
@@ -880,13 +886,24 @@ def exact_topk_blockwise(scores, k: int, block: int = 128,
                          constant_values=-jnp.inf) if pad else scores
         tiles = padded.reshape(nq, G, block)
         bmax = tiles.max(axis=2)
+    return _topk_from_bmax(tiles, bmax, k, block,
+                           valid_upto if mask_cands else None)
+
+
+def _topk_from_bmax(tiles, bmax, k: int, block: int, valid_upto):
+    """Selection tail shared with the fused matmul+bmax kernel: pick the
+    top-k blocks by their maxima, gather those blocks' values, re-mask
+    pad columns, and run the final exact top-k. ``tiles`` is the
+    (nq, G, block) view of the scores; tie/exactness argument in
+    :func:`exact_topk_blockwise`."""
+    nq = tiles.shape[0]
     _, bids = jax.lax.top_k(bmax, k)            # ties -> lower block id
     bids = jnp.sort(bids, axis=1)               # id-ascending candidates
     rows = jnp.arange(nq)[:, None]
     cand = tiles[rows, bids].reshape(nq, k * block)
     cand_ids = (bids[:, :, None] * block
                 + jnp.arange(block)[None, None, :]).reshape(nq, k * block)
-    if mask_cands:
+    if valid_upto is not None:
         cand = jnp.where(cand_ids < valid_upto, cand, -jnp.inf)
     v, p = jax.lax.top_k(cand, k)
     return v, jnp.take_along_axis(cand_ids, p, axis=1)
@@ -1049,7 +1066,7 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
 @partial(jax.jit,
          static_argnames=("k", "cand_cap", "n_docs", "prior_free", "approx",
                           "precision", "pallas_gather", "tf_from_sign",
-                          "compact_rmax", "q_int8_ok"))
+                          "compact_rmax", "q_int8_ok", "fused_mm"))
 def retrieve_topk_split_sparse(
     dense_impact, dense_presence, post_ids, post_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
@@ -1057,7 +1074,7 @@ def retrieve_topk_split_sparse(
     approx: bool = False, precision=jax.lax.Precision.HIGHEST,
     doc_mask=None, impact_lo=None, pallas_gather: bool = False,
     tf_from_sign: bool = False, compact=None, compact_rmax: int = 0,
-    impact_scale=None, q_int8_ok: bool = True,
+    impact_scale=None, q_int8_ok: bool = True, fused_mm: bool = False,
 ):
     """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
 
@@ -1088,9 +1105,19 @@ def retrieve_topk_split_sparse(
 
     K = dense_impact.shape[1]
     qvec, qpres = _densify_queries(fslots, fcnt, K)
-    scores = _impact_matmul(qvec, dense_impact, impact_lo, precision,
-                            scale=impact_scale,
-                            q_int8_ok=q_int8_ok)  # (nq, D_pad)
+    fused_bmax = None
+    if fused_mm and doc_mask is None and not approx and q_int8_ok:
+        # One-pass Pallas matmul with the leader-selection block maxima
+        # computed in the epilogue — the separate (nq, D) reduce read
+        # disappears. Bit-identical scores and maxima.
+        from bayesian_bm25_tpu.engine import pallas_matmul as pm
+
+        scores, fused_bmax = pm.impact_matmul_bmax(
+            qvec, dense_impact, impact_lo, impact_scale, n_docs)
+    else:
+        scores = _impact_matmul(qvec, dense_impact, impact_lo, precision,
+                                scale=impact_scale,
+                                q_int8_ok=q_int8_ok)  # (nq, D_pad)
     if doc_mask is not None:
         # Masked docs drop to -inf BEFORE leader selection and before the
         # sbase gather, so they can neither lead nor win via postings;
@@ -1102,6 +1129,10 @@ def retrieve_topk_split_sparse(
         scores = jnp.where(mask_pad[None, :], scores, -jnp.inf)
     if approx:
         topm_scores, topm_ids = jax.lax.approx_max_k(scores[:, :n_docs], k)
+    elif fused_bmax is not None and k < fused_bmax.shape[1]:
+        tiles = scores.reshape(scores.shape[0], -1, 256)
+        topm_scores, topm_ids = _topk_from_bmax(
+            tiles, fused_bmax, k, 256, n_docs)
     else:
         # Blockwise leader selection on the full padded width: no slice
         # copy, exact incl. tie order (iota mask handles pad docs).

@@ -848,6 +848,16 @@ class BayesianBM25Scorer:
                 use_pg = pg.eligible(
                     s.dense_impact.shape[0], len(trows),
                     masked=doc_mask is not None)
+                use_fmm = False
+                if sidx.FUSED_MM and doc_mask is None and not approx:
+                    from bayesian_bm25_tpu.engine import (
+                        pallas_matmul as pm)
+                    D_pad, K = s.dense_impact.shape
+                    use_fmm = (pm.eligible(fslots.shape[0], K, D_pad, 256)
+                               and (s.impact_scale is not None
+                                    or s.dense_impact_lo is not None
+                                    or s.dense_impact.dtype
+                                    == jnp.bfloat16))
                 # Rank-packed candidate build: gathers only real
                 # postings rows and runs the whole merge at the packed
                 # width; engages when it actually narrows the layout.
@@ -876,6 +886,7 @@ class BayesianBM25Scorer:
                         compact=comp, compact_rmax=r_max,
                         impact_scale=s.impact_scale,
                         q_int8_ok=sidx._q_int8_ok(s, fcnt),
+                        fused_mm=use_fmm,
                     )
                 )
             else:
