@@ -33,7 +33,10 @@ _MODULE_MAP: dict[str, list[str]] = {
         "bayesian_bm25_tpu.api_fusion",
         "bayesian_bm25_tpu.models.fusion_weights",
     ],
-    "scorer": ["bayesian_bm25_tpu.models.scorer"],
+    # the reference scorer module also exports BlockMaxIndex (ours
+    # lives in engine.block_max)
+    "scorer": ["bayesian_bm25_tpu.models.scorer",
+               "bayesian_bm25_tpu.engine.block_max"],
     "calibration": ["bayesian_bm25_tpu.models.calibration"],
     "metrics": ["bayesian_bm25_tpu.utils.metrics"],
     "debug": ["bayesian_bm25_tpu.utils.debug"],

@@ -34,7 +34,8 @@ class TestInstall:
         from bayesian_bm25.fusion import (  # noqa
             AttentionLogOddsWeights, prob_or)
         from bayesian_bm25.probability import logit, sigmoid
-        from bayesian_bm25.scorer import BayesianBM25Scorer
+        from bayesian_bm25.scorer import (  # noqa: F401
+            BayesianBM25Scorer, BlockMaxIndex, RetrievalResult)
 
         assert sigmoid(0.0) == pytest.approx(0.5)
         assert logit(0.5) == pytest.approx(0.0)
