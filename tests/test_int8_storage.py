@@ -199,6 +199,40 @@ class TestCheckpoint:
         assert load_scorer(path)._matmul_precision_name == "highest"
 
 
+class TestInt8PublicPaths:
+    """The remaining public entry points under int8 storage: thresholded
+    (self-consistent counts), explain traces, approx, doc_mask,
+    retrieve_many."""
+
+    def test_thresholded_self_consistent(self, pair):
+        _, i8, corpus, _ = pair
+        q = [corpus[4][:5], corpus[9][:4]]
+        ids, probs, n_pass = i8.retrieve_thresholded(
+            q, threshold=1e-3, k=10)
+        dense = i8.get_probabilities_batch(q)
+        np.testing.assert_array_equal(
+            n_pass, (dense >= 1e-3).sum(axis=1))
+        for r in range(len(q)):
+            got = [p for p in probs[r] if p > 0]
+            assert all(p >= 1e-3 for p in got)
+
+    def test_explain_approx_mask_many(self, pair):
+        _, i8, corpus, _ = pair
+        q = [corpus[6][:5]]
+        res = i8.retrieve(q, k=4, explain=True)
+        assert res.explanations[0][0] is not None
+        ids_a, _ = i8.retrieve(q, k=4, approx=True)
+        assert np.asarray(ids_a).shape == (1, 4)
+        mask = np.ones(i8.num_docs, bool)
+        mask[int(np.asarray(ids_a)[0, 0])] = False
+        ids_m, _ = i8.retrieve(q, k=4, doc_mask=mask)
+        assert int(np.asarray(ids_a)[0, 0]) not in set(
+            np.asarray(ids_m)[0].tolist())
+        outs = i8.retrieve_many([q, q], k=4)
+        np.testing.assert_array_equal(np.asarray(outs[0][0]),
+                                      np.asarray(outs[1][0]))
+
+
 class TestRankingMetricInvariance:
     def test_mini_beir_ndcg_unchanged(self):
         """Retrieval-quality invariance on the checked-in mini-BEIR
