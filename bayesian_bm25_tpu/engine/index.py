@@ -16,12 +16,22 @@ scorer.py:592-601). Block-max metadata for WAND/BMW pruning is a segment-max
 over doc blocks of the same table.
 
 BM25 variants match the reference's backend selection (scorer.py:213):
-  robertson: idf = ln((N - df + 0.5) / (df + 0.5)), floored at 0;
-             tf-part = (k1+1)*tf / (tf + K)
-  lucene:    idf = ln(1 + (N - df + 0.5) / (df + 0.5));
-             tf-part = tf / (tf + K)            (Lucene drops the k1+1 factor)
-  atire:     idf = ln(N / df); tf-part = (k1+1)*tf / (tf + K)
-  with K = k1 * (1 - b + b * dl / avgdl).
+  robertson: idf = ln((N - df + 0.5) / (df + 0.5)), floored at 0
+  lucene:    idf = ln(1 + (N - df + 0.5) / (df + 0.5))
+  atire:     idf = ln(N / df)
+  with tf-part = s * tf / (tf + K), K = k1 * (1 - b + b * dl / avgdl).
+
+The scale factor ``s`` depends on ``score_scale``:
+  "classic" (default): s = k1+1 for robertson/atire (the textbook
+             Robertson/ATIRE formulations), s = 1 for lucene (Lucene's
+             BM25Similarity drops the constant factor).
+  "bm25s":   score-level parity with the bm25s package the reference
+             delegates to (scorer.py:213,525-529): bm25s's robertson tfc
+             ALSO omits the k1+1 factor (only its atire variant keeps
+             it), so s = k1+1 for atire only.
+The two scales are rank-identical for every method (a per-corpus
+constant factor); they differ numerically only for robertson, by
+exactly (k1+1).
 """
 
 from __future__ import annotations
@@ -33,6 +43,19 @@ import numpy as np
 import jax.numpy as jnp
 
 VALID_METHODS = ("robertson", "lucene", "atire")
+VALID_SCORE_SCALES = ("classic", "bm25s")
+
+
+def tf_scale_factor(method: str, k1: float, score_scale: str = "classic") -> float:
+    """Constant multiplier on the tf-saturation term (module docstring)."""
+    if score_scale not in VALID_SCORE_SCALES:
+        raise ValueError(
+            f"score_scale must be one of {VALID_SCORE_SCALES}, "
+            f"got {score_scale!r}"
+        )
+    if method == "atire" or (method == "robertson" and score_scale == "classic"):
+        return k1 + 1.0
+    return 1.0
 
 # Padding sentinels. Doc-side and query-side pads differ so a padded query
 # slot never matches a padded doc slot.
@@ -65,6 +88,9 @@ class BM25Index:
     n_terms: int = 0
     avgdl: float = 0.0
     max_doc_terms: int = 0
+    # Score-level compatibility scale (module docstring); "classic" for
+    # indexes built before the flag existed.
+    score_scale: str = "classic"
     # Host mirrors (set by build_index): avoid device->host pulls when
     # building the split accelerator, and make incremental append possible
     # (weights must be recomputed from raw counts when N/df/avgdl change).
@@ -97,13 +123,12 @@ def compute_idf(df: np.ndarray, n_docs: int, method: str) -> np.ndarray:
     raise ValueError(f"method must be one of {VALID_METHODS}, got {method!r}")
 
 
-def tf_saturation(tf, doc_len, avgdl, k1: float, b: float, method: str):
+def tf_saturation(tf, doc_len, avgdl, k1: float, b: float, method: str,
+                  score_scale: str = "classic"):
     """BM25 term-frequency saturation (see module docstring)."""
     K = k1 * (1.0 - b + b * doc_len / max(avgdl, 1e-12))
     sat = tf / (tf + K)
-    if method in ("robertson", "atire"):
-        return (k1 + 1.0) * sat
-    return sat
+    return tf_scale_factor(method, k1, score_scale) * sat
 
 
 def _corpus_to_csr(corpus_tokens: list[list[str]], vocab: dict):
@@ -143,6 +168,7 @@ def build_index(
     pad_multiple: int = 128,
     doc_pad_multiple: int = 2048,  # = pallas_bm25.DOC_BLOCK
     csr=None,
+    score_scale: str = "classic",
 ) -> BM25Index:
     """Tokenized corpus -> device index.
 
@@ -154,6 +180,11 @@ def build_index(
     """
     if method not in VALID_METHODS:
         raise ValueError(f"method must be one of {VALID_METHODS}, got {method!r}")
+    if score_scale not in VALID_SCORE_SCALES:
+        raise ValueError(
+            f"score_scale must be one of {VALID_SCORE_SCALES}, "
+            f"got {score_scale!r}"
+        )
 
     n_docs = len(corpus_tokens)
     if n_docs == 0:
@@ -216,12 +247,14 @@ def build_index(
     doc_lengths_pad[:n_docs] = doc_lengths
 
     weights = _compute_weight_table(
-        term_ids, counts, doc_lengths_pad, avgdl, idf, k1, b, method)
+        term_ids, counts, doc_lengths_pad, avgdl, idf, k1, b, method,
+        score_scale)
 
     return BM25Index(
         k1=k1,
         b=b,
         method=method,
+        score_scale=score_scale,
         vocab=vocab,
         term_ids=jnp.asarray(term_ids),
         weights=jnp.asarray(weights),
@@ -240,16 +273,15 @@ def build_index(
 
 
 def _compute_weight_table(term_ids, counts, doc_lengths_pad, avgdl, idf,
-                          k1: float, b: float, method: str) -> np.ndarray:
+                          k1: float, b: float, method: str,
+                          score_scale: str = "classic") -> np.ndarray:
     """(D_pad, T) float32 BM25 contributions from the counts table.
 
     Float64 throughout (matching the flat-array build path bit-for-bit);
     pad slots (count 0) produce weight 0 exactly."""
     K = k1 * (1.0 - b + b * doc_lengths_pad / max(avgdl, 1e-12))
     cf = counts.astype(np.float64)
-    sat = cf / (cf + K[:, None])
-    if method in ("robertson", "atire"):
-        sat = (k1 + 1.0) * sat
+    sat = tf_scale_factor(method, k1, score_scale) * (cf / (cf + K[:, None]))
     w = np.where(term_ids >= 0, idf[np.maximum(term_ids, 0)] * sat, 0.0)
     return w.astype(np.float32)
 
@@ -319,12 +351,13 @@ def append_to_index(
     doc_lengths_pad[:n_old] = old_dl
     doc_lengths_pad[n_old:n_docs] = new_len_i
 
+    scale = getattr(idx, "score_scale", "classic")
     weights = _compute_weight_table(
         term_ids, counts, doc_lengths_pad, avgdl, idf,
-        idx.k1, idx.b, idx.method)
+        idx.k1, idx.b, idx.method, scale)
 
     return BM25Index(
-        k1=idx.k1, b=idx.b, method=idx.method, vocab=vocab,
+        k1=idx.k1, b=idx.b, method=idx.method, score_scale=scale, vocab=vocab,
         term_ids=jnp.asarray(term_ids),
         weights=jnp.asarray(weights),
         doc_lengths=jnp.asarray(doc_lengths_pad, dtype=jnp.float32),
@@ -346,6 +379,7 @@ def build_index_from_texts(
     stem: bool | str = True,
     use_native: bool | str = "auto",
     return_tokens: bool = True,
+    score_scale: str = "classic",
 ):
     """Raw texts -> (BM25Index, corpus_tokens) using the C++ tokenizer +
     corpus builder when available (one native pass for tokenize + vocab +
@@ -373,6 +407,7 @@ def build_index_from_texts(
                 [None] * len(texts), k1=k1, b=b, method=method, vocab=vocab,
                 csr=(indptr, tids.astype(np.int64),
                      counts.astype(np.int64), dlens.astype(np.int64)),
+                score_scale=score_scale,
             )
             return idx, corpus_tokens
         except (ImportError, OSError):
@@ -385,7 +420,8 @@ def build_index_from_texts(
                     remove_stopwords=remove_stopwords, stem=stem)
         for t in texts
     ]
-    return build_index(corpus_tokens, k1=k1, b=b, method=method), corpus_tokens
+    return build_index(corpus_tokens, k1=k1, b=b, method=method,
+                       score_scale=score_scale), corpus_tokens
 
 
 def get_native_encoder(index):

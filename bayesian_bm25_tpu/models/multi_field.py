@@ -20,7 +20,8 @@ class MultiFieldScorer:
 
     def __init__(self, fields: list[str], field_weights: dict | None = None,
                  alpha="auto", base_rate=None, k1: float = 1.2,
-                 b: float = 0.75, method: str = "robertson") -> None:
+                 b: float = 0.75, method: str = "robertson",
+                 score_scale: str = "classic") -> None:
         if not fields:
             raise ValueError("fields must be a non-empty list")
         if len(fields) != len(set(fields)):
@@ -32,6 +33,7 @@ class MultiFieldScorer:
         self._k1 = k1
         self._b = b
         self._method = method
+        self._score_scale = score_scale
 
         if field_weights is None:
             n = len(fields)
@@ -75,7 +77,7 @@ class MultiFieldScorer:
         for field in self._fields:
             scorer = BayesianBM25Scorer(
                 k1=self._k1, b=self._b, method=self._method,
-                base_rate=self._base_rate,
+                base_rate=self._base_rate, score_scale=self._score_scale,
             )
             scorer.index([doc[field] for doc in documents],
                          show_progress=show_progress)
@@ -124,7 +126,7 @@ class MultiFieldScorer:
         for field, field_texts in (("title", titles), ("body", texts)):
             scorer = BayesianBM25Scorer(
                 k1=self._k1, b=self._b, method=self._method,
-                base_rate=self._base_rate,
+                base_rate=self._base_rate, score_scale=self._score_scale,
             )
             scorer.index_texts(field_texts, lowercase=lowercase,
                                remove_stopwords=remove_stopwords, stem=stem)

@@ -158,6 +158,7 @@ class BayesianBM25Scorer:
         base_rate_method: str = "percentile",
         matmul_precision: str = "high",
         impact_storage: str | None = None,
+        score_scale: str = "classic",
     ) -> None:
         if base_rate_method not in _VALID_BASE_RATE_METHODS:
             raise ValueError(
@@ -167,6 +168,11 @@ class BayesianBM25Scorer:
         if method not in eidx.VALID_METHODS:
             raise ValueError(
                 f"method must be one of {eidx.VALID_METHODS}, got {method!r}"
+            )
+        if score_scale not in eidx.VALID_SCORE_SCALES:
+            raise ValueError(
+                f"score_scale must be one of {eidx.VALID_SCORE_SCALES}, "
+                f"got {score_scale!r}"
             )
         if matmul_precision not in _MATMUL_PRECISIONS:
             raise ValueError(
@@ -197,6 +203,11 @@ class BayesianBM25Scorer:
         self._k1 = k1
         self._b = b
         self._method = method
+        # "classic" = textbook Robertson/ATIRE (k1+1) scaling; "bm25s" =
+        # score-level equality with the bm25s package the reference
+        # delegates to (its robertson tfc omits k1+1 too). Rank-identical
+        # either way; robertson scores differ by exactly (k1+1).
+        self._score_scale = score_scale
         self._user_alpha = alpha
         self._user_beta = beta
         self._user_base_rate = base_rate
@@ -285,6 +296,7 @@ class BayesianBM25Scorer:
         return eidx.build_index(
             corpus_tokens, k1=self._k1, b=self._b, method=self._method,
             doc_pad_multiple=self._doc_pad_multiple(),
+            score_scale=self._score_scale,
         )
 
     def _finalize_index(self) -> None:
@@ -377,6 +389,7 @@ class BayesianBM25Scorer:
             texts, k1=self._k1, b=self._b, method=self._method,
             lowercase=lowercase, remove_stopwords=remove_stopwords,
             stem=stem, return_tokens=False,
+            score_scale=self._score_scale,
         )
         self._index = idx
         if corpus_tokens is None:

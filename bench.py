@@ -11,9 +11,59 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+# The axon TPU pool is shared and occasionally UNAVAILABLE for a window
+# (observed outages of minutes to hours). A transient outage must not
+# zero the benchmark: probe the backend in a SUBPROCESS (a failed init
+# poisons the importing process's backend cache) with backoff before
+# touching jax here, and re-exec once if the backend dies mid-run.
+_PROBE_BUDGET_S = float(os.environ.get("BENCH_BACKEND_BUDGET_S", 2700))
+_PROBE_SLEEP_S = 60.0
+
+
+def _probe_backend(budget_s: float = _PROBE_BUDGET_S) -> bool:
+    """Wait (with backoff) until the accelerator backend initializes.
+
+    Returns True once a fresh subprocess can run ``jax.devices()``;
+    False if the budget is exhausted. Diagnostics go to stderr.
+    """
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=600, capture_output=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"bench: backend up after {attempt} probes",
+                          file=sys.stderr)
+                return True
+            msg = (r.stderr or b"").decode(errors="replace").strip()
+            print(f"bench: backend probe {attempt} failed "
+                  f"(rc={r.returncode}): {msg[-200:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench: backend probe {attempt} timed out (600s)",
+                  file=sys.stderr)
+        if time.time() + _PROBE_SLEEP_S > deadline:
+            return False
+        time.sleep(_PROBE_SLEEP_S)
+
+
+def _is_backend_error(exc: BaseException) -> bool:
+    text = f"{type(exc).__name__}: {exc}"
+    return any(s in text for s in (
+        "UNAVAILABLE", "DEADLINE_EXCEEDED", "INTERNAL", "failed to connect",
+        "Unable to initialize backend", "socket closed",
+    ))
 
 
 def make_corpus(rng, n_docs=50_000, doc_len=150, vocab=30_000):
@@ -151,11 +201,28 @@ def _cpu_spec() -> str:
 
 
 def main():
+    if not _probe_backend():
+        print("bench: accelerator backend unavailable after "
+              f"{_PROBE_BUDGET_S:.0f}s of probing; no measurement taken",
+              file=sys.stderr)
+        sys.exit(1)
+
     rng = np.random.default_rng(0)
     corpus = make_corpus(rng)
     queries = make_queries(rng)
 
-    tpu_qps = bench_tpu(corpus, queries)
+    try:
+        tpu_qps = bench_tpu(corpus, queries)
+    except Exception as exc:  # noqa: BLE001 — backend flake mid-run
+        if not _is_backend_error(exc) or os.environ.get("BENCH_RETRIED"):
+            raise
+        print(f"bench: backend error mid-run ({exc!r}); "
+              "re-probing and retrying once in a fresh process",
+              file=sys.stderr)
+        if not _probe_backend():
+            sys.exit(1)
+        os.environ["BENCH_RETRIED"] = "1"
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
     # Baseline rigor: median of N>=5 independent baseline runs (the shared
     # host core varies run to run); CPU model recorded alongside.
     cpu_runs = sorted(bench_cpu_reference(corpus, queries[:128], reps=1)

@@ -4,8 +4,7 @@ The reference delegates scoring entirely to the external ``bm25s``
 package (ref scorer.py:213, 262, 525-529), which is not installable in
 this no-egress environment — so the goldens below were derived ONCE by
 an independent hand calculation (plain Python floats, no engine code) of
-the formulas bm25s documents for method='robertson' / 'lucene' / 'atire'
-(Lù 2024, "BM25S"; bm25s/scoring.py):
+the textbook formulas (the default score_scale="classic"):
 
     K   = k1 * (1 - b + b * dl / avgdl)
     sat = tf / (tf + K)               [* (k1+1) for robertson/atire]
@@ -13,9 +12,12 @@ the formulas bm25s documents for method='robertson' / 'lucene' / 'atire'
     idf_lucene    = ln(1 + (N - df + .5) / (df + .5))
     idf_atire     = ln(N / df)
 
-and frozen as literals. The engine must reproduce them to float
-precision; any deliberate divergence must update BOTH the literals and
-PARITY.md with a quantified delta.
+and frozen as literals. bm25s itself drops the (k1+1) factor for
+robertson too (its tfc uses the Pomona formulation; only atire keeps
+k1+1) — score-level equality with bm25s is score_scale="bm25s", pinned
+by tests/test_score_scale.py. The engine must reproduce these literals
+to float precision; any deliberate divergence must update BOTH the
+literals and PARITY.md with a quantified delta.
 
 Fixture corpus exercises: repeated terms (tf>1), df=1 vs df=N/2 terms,
 the robertson idf floor (df=2 of N=4 -> idf exactly 0), OOV query terms,
