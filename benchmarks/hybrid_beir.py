@@ -109,10 +109,22 @@ def run_dataset(
     tune: bool = False,
     seed: int = 42,
     verbose: bool = True,
+    methods: list[str] | None = None,
+    attn_iters: int = 2000,
 ) -> dict:
-    """Run every hybrid method on one dataset; returns {method: metrics}."""
+    """Run every hybrid method on one dataset; returns {method: metrics}.
+
+    ``methods``: optional list of substrings — only methods whose name
+    contains one of them are computed (and the expensive stages that
+    feed ONLY unwanted methods are skipped entirely). Used by the
+    multi-seed ordering studies, where running all 38 methods per seed
+    would be wasteful.
+    """
     t0 = time.time()
     rng = np.random.default_rng(seed)
+
+    def want(name: str) -> bool:
+        return methods is None or any(m in name for m in methods)
 
     def log(msg):
         if verbose:
@@ -137,6 +149,10 @@ def run_dataset(
         ("mixture", "auto", "mixture"),
         ("elbow", "auto", "elbow"),
     ):
+        if key == "mixture" and not want("Balanced-Mix"):
+            continue
+        if key == "elbow" and not want("Balanced-Elbow"):
+            continue
         s = BayesianBM25Scorer(method="lucene", base_rate=br,
                                base_rate_method=brm)
         s.index(corpus_tokens, show_progress=False)
@@ -221,6 +237,8 @@ def run_dataset(
     runs: dict[str, dict] = {}
 
     def add(method, qid, union_ids, fused_scores):
+        if not want(method):
+            return
         order = np.argsort(-fused_scores)
         runs.setdefault(method, {})[qid] = [
             doc_ids[union_ids[i]] for i in order[:max(k, 100)]
@@ -301,36 +319,48 @@ def run_dataset(
         add("Dense-Arctan", qid, union, 0.5 + np.arctan(u_dsim) / np.pi)
         add("Dense-Platt", qid, union, np.asarray(platt(u_dsim)))
 
-        # VPT: background from full dense scores (or IVF residuals)
-        if ivf is not None:
-            bg = ivf.background_distances
+        # VPT: background from full dense scores (or IVF residuals).
+        # The whole VPT family (and the vector-fused + attention methods
+        # that consume vpt_pair) can be skipped when filtered out — the
+        # per-query KDE fits dominate the loop's cost.
+        # Only the VPT family and Vector-* fusions (incl. Vector-Attn,
+        # which trains on vpt_pair) need the per-query KDE fits — the
+        # plain attention/multi-head methods train on `pair`.
+        need_vpt = want("VPT") or want("Vector")
+        if need_vpt:
+            if ivf is not None:
+                bg = ivf.background_distances
+            else:
+                bg = 1.0 - dsim
+            vpt = VectorProbabilityTransform.fit_background(np.asarray(bg))
+            u_dist = 1.0 - u_dsim
+            guidance = np.clip(u_probs["auto"], 0.0, 1.0)
+            vpt_probs = np.asarray(vpt.calibrate_with_sample(
+                u_dist, u_dist, weights=guidance))
         else:
-            bg = 1.0 - dsim
-        vpt = VectorProbabilityTransform.fit_background(np.asarray(bg))
-        u_dist = 1.0 - u_dsim
-        guidance = np.clip(u_probs["auto"], 0.0, 1.0)
-        vpt_probs = np.asarray(vpt.calibrate_with_sample(
-            u_dist, u_dist, weights=guidance))
+            vpt_probs = u_dense_prob  # placeholder; consumers filtered out
         add("VPT-BM25Weights", qid, union, vpt_probs)
 
         # Bandwidth ablation variants (reference README bandwidth table):
         # Silverman factor sweep on the BM25-weighted KDE calibration.
-        for bw in (0.2, 0.5, 1.0):
-            vpt_bw = np.asarray(vpt.calibrate_with_sample(
-                u_dist, u_dist, weights=guidance, bandwidth_factor=bw))
-            add(f"VPT-BW-{bw}", qid, union, vpt_bw)
+        if need_vpt and want("VPT-BW"):
+            for bw in (0.2, 0.5, 1.0):
+                vpt_bw = np.asarray(vpt.calibrate_with_sample(
+                    u_dist, u_dist, weights=guidance, bandwidth_factor=bw))
+                add(f"VPT-BW-{bw}", qid, union, vpt_bw)
 
-        if ivf is not None:
-            cell_ids = ivf.assignments[union]
-            prior = np.asarray(ivf_density_prior(
-                ivf.cell_populations[cell_ids], ivf.avg_population))
-            vpt_dp = np.asarray(vpt.calibrate_with_sample(
-                u_dist, u_dist, density_prior=prior))
-        else:
-            fallback = np.asarray(vpt._distance_density_weights(u_dist))
-            vpt_dp = np.asarray(vpt.calibrate_with_sample(
-                u_dist, u_dist, density_prior=fallback))
-        add("VPT-DensityPrior", qid, union, vpt_dp)
+        if need_vpt and want("VPT-DensityPrior"):
+            if ivf is not None:
+                cell_ids = ivf.assignments[union]
+                prior = np.asarray(ivf_density_prior(
+                    ivf.cell_populations[cell_ids], ivf.avg_population))
+                vpt_dp = np.asarray(vpt.calibrate_with_sample(
+                    u_dist, u_dist, density_prior=prior))
+            else:
+                fallback = np.asarray(vpt._distance_density_weights(u_dist))
+                vpt_dp = np.asarray(vpt.calibrate_with_sample(
+                    u_dist, u_dist, density_prior=fallback))
+            add("VPT-DensityPrior", qid, union, vpt_dp)
 
         # Optional per-query separability gating (hybrid_beir.py:1928-1963):
         # blend the VPT-calibrated dense signal with the global kappa
@@ -431,69 +461,81 @@ def run_dataset(
                           np.tile(feats, (len(union), 1)), use_averaged)
             add(name, qid, union, np.atleast_1d(np.asarray(fused)))
 
-    X3, y3, F3, _ = collect_training(0, 0)
-    if len(X3) >= 10 and len(set(y3)) > 1:
-        attn = AttentionLogOddsWeights(2, 3, alpha=0.5, seed=0)
-        attn.fit(np.clip(X3, 1e-10, 1 - 1e-10), y3, F3,
-                 learning_rate=0.05, max_iterations=300)
-        eval_attention(attn, "Bayesian-Attention", 0, 0)
+    need_attn = want("Attn") or want("MultiHead")
+    X3 = y3 = F3 = None
+    if need_attn:
+        X3, y3, F3, _ = collect_training(0, 0)
+    if need_attn and len(X3) >= 10 and len(set(y3)) > 1:
+        if want("Bayesian-Attention"):
+            attn = AttentionLogOddsWeights(2, 3, alpha=0.5, seed=0)
+            attn.fit(np.clip(X3, 1e-10, 1 - 1e-10), y3, F3,
+                     learning_rate=0.05, max_iterations=attn_iters)
+            eval_attention(attn, "Bayesian-Attention", 0, 0)
 
         X7, y7, F7, qg7 = collect_training(0, 1)
-        attn_norm = AttentionLogOddsWeights(2, 7, alpha=0.5, seed=0,
-                                            normalize=True)
-        attn_norm.fit(np.clip(X7, 1e-10, 1 - 1e-10), y7, F7, query_ids=qg7,
-                      learning_rate=0.05, max_iterations=300)
-        eval_attention(attn_norm, "Bayesian-Attn-Norm", 0, 1)
+        if want("Attn-Norm"):
+            attn_norm = AttentionLogOddsWeights(2, 7, alpha=0.5, seed=0,
+                                                normalize=True)
+            attn_norm.fit(np.clip(X7, 1e-10, 1 - 1e-10), y7, F7,
+                          query_ids=qg7,
+                          learning_rate=0.05, max_iterations=attn_iters)
+            eval_attention(attn_norm, "Bayesian-Attn-Norm", 0, 1)
 
         # 5-fold CV variant (hybrid_beir.py:1359-1443): average fold models
-        folds = np.array_split(np.arange(len(attn_cache)), 5)
-        cv_models = []
-        for f in range(5):
-            train_rows = set(np.concatenate(
-                [folds[g] for g in range(5) if g != f]))
-            mask = np.isin(qg7, list(train_rows))
-            if mask.sum() < 10 or len(set(y7[mask])) < 2:
-                continue
-            m = AttentionLogOddsWeights(2, 7, alpha=0.5, seed=0,
-                                        normalize=True)
-            m.fit(np.clip(X7[mask], 1e-10, 1 - 1e-10), y7[mask], F7[mask],
-                  query_ids=qg7[mask], learning_rate=0.05, max_iterations=200)
-            cv_models.append((f, m))
-        if cv_models:
-            fold_of_row = {}
-            for f, rows in enumerate(folds):
-                for r in rows:
-                    fold_of_row[int(r)] = f
-            for row, (qid, union, pair, _, _, feat7) in enumerate(attn_cache):
-                f = fold_of_row.get(row, 0)
-                model = next((m for ff, m in cv_models if ff == f),
-                             cv_models[0][1])
-                fused = model(np.clip(pair, 1e-10, 1 - 1e-10),
-                              np.tile(std7(feat7), (len(union), 1)))
-                add("Bayesian-Attn-Norm-CV", qid, union,
-                    np.atleast_1d(np.asarray(fused)))
+        if want("Attn-Norm-CV"):
+            folds = np.array_split(np.arange(len(attn_cache)), 5)
+            cv_models = []
+            for f in range(5):
+                train_rows = set(np.concatenate(
+                    [folds[g] for g in range(5) if g != f]))
+                mask = np.isin(qg7, list(train_rows))
+                if mask.sum() < 10 or len(set(y7[mask])) < 2:
+                    continue
+                m = AttentionLogOddsWeights(2, 7, alpha=0.5, seed=0,
+                                            normalize=True)
+                m.fit(np.clip(X7[mask], 1e-10, 1 - 1e-10), y7[mask],
+                      F7[mask], query_ids=qg7[mask],
+                      learning_rate=0.05, max_iterations=attn_iters // 2)
+                cv_models.append((f, m))
+            if cv_models:
+                fold_of_row = {}
+                for f, rows in enumerate(folds):
+                    for r in rows:
+                        fold_of_row[int(r)] = f
+                for row, (qid, union, pair, _, _, feat7) in enumerate(
+                        attn_cache):
+                    f = fold_of_row.get(row, 0)
+                    model = next((m for ff, m in cv_models if ff == f),
+                                 cv_models[0][1])
+                    fused = model(np.clip(pair, 1e-10, 1 - 1e-10),
+                                  np.tile(std7(feat7), (len(union), 1)))
+                    add("Bayesian-Attn-Norm-CV", qid, union,
+                        np.atleast_1d(np.asarray(fused)))
 
         # Multi-head (4 heads x basic / rich+norm)
-        mh = MultiHeadAttentionLogOddsWeights(4, 2, 3, alpha=0.5)
-        mh.fit(np.clip(X3, 1e-10, 1 - 1e-10), y3, F3,
-               learning_rate=0.05, max_iterations=200)
-        eval_attention(mh, "Bayesian-MultiHead", 0, 0)
-        mh_norm = MultiHeadAttentionLogOddsWeights(4, 2, 7, alpha=0.5,
-                                                   normalize=True)
-        mh_norm.fit(np.clip(X7, 1e-10, 1 - 1e-10), y7, F7,
-                    learning_rate=0.05, max_iterations=200)
-        eval_attention(mh_norm, "Bayesian-MultiHead-Norm", 0, 1)
+        if want("MultiHead"):
+            mh = MultiHeadAttentionLogOddsWeights(4, 2, 3, alpha=0.5)
+            mh.fit(np.clip(X3, 1e-10, 1 - 1e-10), y3, F3,
+                   learning_rate=0.05, max_iterations=attn_iters // 2)
+            eval_attention(mh, "Bayesian-MultiHead", 0, 0)
+            mh_norm = MultiHeadAttentionLogOddsWeights(4, 2, 7, alpha=0.5,
+                                                       normalize=True)
+            mh_norm.fit(np.clip(X7, 1e-10, 1 - 1e-10), y7, F7,
+                        learning_rate=0.05, max_iterations=attn_iters // 2)
+            eval_attention(mh_norm, "Bayesian-MultiHead-Norm", 0, 1)
 
         # Vector-calibrated attention
-        Xv, yv, Fv, qgv = collect_training(1, 1)
-        if len(Xv) >= 10 and len(set(yv)) > 1:
-            vattn = AttentionLogOddsWeights(2, 7, alpha=0.5, seed=0,
-                                            normalize=True)
-            vattn.fit(np.clip(Xv, 1e-10, 1 - 1e-10), yv, Fv, query_ids=qgv,
-                      learning_rate=0.05, max_iterations=300)
-            eval_attention(vattn, "Bayesian-Vector-Attn", 1, 1)
+        if want("Vector-Attn"):
+            Xv, yv, Fv, qgv = collect_training(1, 1)
+            if len(Xv) >= 10 and len(set(yv)) > 1:
+                vattn = AttentionLogOddsWeights(2, 7, alpha=0.5, seed=0,
+                                                normalize=True)
+                vattn.fit(np.clip(Xv, 1e-10, 1 - 1e-10), yv, Fv,
+                          query_ids=qgv,
+                          learning_rate=0.05, max_iterations=attn_iters)
+                eval_attention(vattn, "Bayesian-Vector-Attn", 1, 1)
         log("attention / multi-head methods trained + evaluated")
-    else:
+    elif need_attn:
         log("skipping attention methods: insufficient training data")
 
     # --- supervised tuning (--tune) ----------------------------------------
@@ -639,6 +681,12 @@ def main():
     ap.add_argument("--synthetic-docs", type=int, default=2000)
     ap.add_argument("--synthetic-queries", type=int, default=64)
     ap.add_argument("--synthetic-seed", type=int, default=7)
+    ap.add_argument("--hard", action="store_true",
+                    help="BEIR-difficulty topic->subtopic synthetic family "
+                         "(benchmarks/utils.py:synthetic_dataset_hard) — "
+                         "the method-ordering gate corpus")
+    ap.add_argument("--synthetic-topics", type=int, default=None,
+                    help="override topic count (--hard default 120)")
     ap.add_argument("--noise-regimes", action="store_true",
                     help="mixed per-query reliability regimes (the "
                          "attention-fusion win condition)")
@@ -653,8 +701,23 @@ def main():
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("-R", type=int, default=1000)
     ap.add_argument("--tune", action="store_true")
+    ap.add_argument("--seed", type=int, default=42,
+                    help="harness seed (training sampling etc.)")
+    ap.add_argument("--methods", nargs="*", default=None,
+                    help="method-name substrings; only matching methods "
+                         "are computed (multi-seed ordering studies)")
+    ap.add_argument("--device", default="auto", choices=["auto", "cpu"],
+                    help="'cpu' forces the CPU backend (the env-pinned "
+                         "accelerator plugin ignores JAX_PLATFORMS; this "
+                         "sets jax.config before backend init — needed "
+                         "for studies during accelerator outages)")
     ap.add_argument("-o", "--output", default=None)
     args = ap.parse_args()
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     datasets = []
     if args.download:
@@ -664,6 +727,15 @@ def main():
         datasets = [load_beir_dataset(p) for p in dirs]
     elif args.data_dir:
         datasets = [load_beir_dataset(p) for p in args.data_dir]
+    elif args.hard:
+        from benchmarks.utils import synthetic_dataset_hard
+
+        kw = {}
+        if args.synthetic_topics is not None:
+            kw["n_topics"] = args.synthetic_topics
+        datasets = [synthetic_dataset_hard(
+            n_docs=args.synthetic_docs, n_queries=args.synthetic_queries,
+            seed=args.synthetic_seed, **kw)]
     else:
         datasets = [synthetic_dataset(
             n_docs=args.synthetic_docs, n_queries=args.synthetic_queries,
@@ -680,7 +752,7 @@ def main():
             use_ivf=args.ivf, ivf_cells=args.ivf_cells,
             ivf_nprobe=args.ivf_nprobe, ivf_iterations=args.ivf_iterations,
             ivf_seed=args.ivf_seed, vpt_query_gating=args.vpt_query_gating,
-            tune=args.tune,
+            tune=args.tune, seed=args.seed, methods=args.methods,
         )
         print_results(ds.name, res, args.k)
         all_results[ds.name] = res

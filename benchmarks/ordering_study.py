@@ -1,0 +1,121 @@
+"""Method-ordering gate on the hard synthetic family (multi-seed).
+
+The reference's headline claim is an ORDERING over fusion methods on
+BEIR (README.md:412-443: Attn-Norm 41.67 >= Balanced 41.50 > Convex
+41.15 > RRF 40.49 > Dense 38.32 > BM25 35.38 avg NDCG@10). Real BEIR
+is unreachable in this no-egress environment, so this study pins the
+same ordering invariant on the generator-frozen hard synthetic family
+(benchmarks/utils.py:synthetic_dataset_hard — topic->subtopic graded
+relevance, lexically-ambiguous vocabularies, keyword-stuffed spam
+outliers, log-normal doc lengths) with per-seed corpora large enough
+that method margins exceed seed noise.
+
+Gate pairs (each must hold on mean NDCG@10 with non-overlapping
+mean +/- SE intervals across seeds):
+    Balanced > Convex > RRF   and   Balanced > RRF > BM25, Dense
+
+Usage:
+    python benchmarks/ordering_study.py [--docs 20000] [--queries 256]
+        [--seeds 7 8 9] [--device cpu] [-o out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+GATE_METHODS = ["BM25", "Dense", "Convex", "RRF", "Balanced", "LogOdds",
+                "Attn", "MultiHead"]
+# (winner, loser) pairs that must separate beyond seed noise
+GATE_PAIRS = [
+    ("Bayesian-Balanced", "Convex"),
+    ("Convex", "RRF"),
+    ("RRF", "BM25"),
+    ("Bayesian-Balanced", "Dense"),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs", type=int, default=20_000)
+    ap.add_argument("--queries", type=int, default=256)
+    ap.add_argument("--seeds", type=int, nargs="*", default=[7, 8, 9])
+    ap.add_argument("--device", default="auto", choices=["auto", "cpu"])
+    ap.add_argument("-R", type=int, default=1000)
+    ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("-o", "--output", default=None)
+    args = ap.parse_args()
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from benchmarks.hybrid_beir import run_dataset
+    from benchmarks.utils import synthetic_dataset_hard
+
+    per_method: dict[str, list[float]] = {}
+    for seed in args.seeds:
+        ds = synthetic_dataset_hard(
+            n_docs=args.docs, n_queries=args.queries, seed=seed,
+            name=f"synthetic-hard-s{seed}")
+        res = run_dataset(ds, k=args.k, R=args.R, methods=GATE_METHODS,
+                          verbose=False)
+        print(f"seed {seed}:")
+        for m, v in sorted(res.items(), key=lambda kv: -kv[1][f"ndcg@{args.k}"]):
+            per_method.setdefault(m, []).append(v[f"ndcg@{args.k}"])
+            print(f"  {m:30s} {v[f'ndcg@{args.k}']:.2f}")
+
+    stats = {
+        m: {
+            "mean": float(np.mean(v)),
+            "se": float(np.std(v, ddof=1) / np.sqrt(len(v)))
+            if len(v) > 1 else 0.0,
+            "per_seed": v,
+        }
+        for m, v in per_method.items()
+    }
+    print("\n=== mean +/- SE over seeds ===")
+    for m, s in sorted(stats.items(), key=lambda kv: -kv[1]["mean"]):
+        print(f"  {m:30s} {s['mean']:6.2f} +/- {s['se']:.2f}")
+
+    gates = []
+    ok = True
+    for win, lose in GATE_PAIRS:
+        w, l = stats.get(win), stats.get(lose)
+        if w is None or l is None:
+            gates.append({"pair": [win, lose], "ok": False,
+                          "reason": "missing method"})
+            ok = False
+            continue
+        separated = (w["mean"] - w["se"]) > (l["mean"] + l["se"])
+        gates.append({
+            "pair": [win, lose], "ok": bool(separated),
+            "margin": w["mean"] - l["mean"],
+            "noise": w["se"] + l["se"],
+        })
+        ok = ok and separated
+    print("\n=== gate pairs (mean+/-SE non-overlap) ===")
+    for g in gates:
+        mark = "PASS" if g["ok"] else "FAIL"
+        extra = (f" margin={g.get('margin', 0):.2f} "
+                 f"noise={g.get('noise', 0):.2f}"
+                 if "margin" in g else f" ({g.get('reason')})")
+        print(f"  [{mark}] {g['pair'][0]} > {g['pair'][1]}{extra}")
+    out = {"stats": stats, "gates": gates, "ok": ok,
+           "config": {"docs": args.docs, "queries": args.queries,
+                      "seeds": args.seeds, "R": args.R, "k": args.k}}
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"\nwritten to {args.output}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
