@@ -15,11 +15,26 @@ counts |query_set ∩ doc_set| (the reference's "tf" prior feature,
 scorer.py:592-601). Block-max metadata for WAND/BMW pruning is a segment-max
 over doc blocks of the same table.
 
-BM25 variants match the reference's backend selection (scorer.py:213):
+BM25 variants match the reference's backend selection (scorer.py:213 —
+the reference passes ``method`` straight to ``bm25s.BM25`` with no
+validation, so every bm25s method is reference surface):
   robertson: idf = ln((N - df + 0.5) / (df + 0.5)), floored at 0
   lucene:    idf = ln(1 + (N - df + 0.5) / (df + 0.5))
   atire:     idf = ln(N / df)
-  with tf-part = s * tf / (tf + K), K = k1 * (1 - b + b * dl / avgdl).
+  with tf-part = s * tf / (tf + K), K = k1 * (1 - b + b * dl / avgdl);
+  bm25l:     idf = ln((N + 1) / (df + 0.5));
+             tf-part = (k1+1)(c + delta) / (k1 + c + delta),
+             c = tf / (1 - b + b * dl / avgdl)        (Lv & Zhai 2011)
+  bm25+:     idf = ln((N + 1) / df);
+             tf-part = (k1+1) tf / (K + tf) + delta   (Lv & Zhai 2011)
+
+bm25l/bm25+ have a NONZERO tf=0 contribution (``nonoccurrence_score``:
+(k1+1)d/(k1+d) resp. d) — a per-query constant shift
+``sat0 * sum_t c_t * idf_t`` that never changes rankings. The weight
+table stores the doc-dependent part idf*(sat - sat0) (non-negative, so
+the sparse-candidate completeness proof and WAND bounds carry over);
+the scorer adds the shift on the public raw-score surface
+(query_score_shift) for bm25s score parity.
 
 The scale factor ``s`` depends on ``score_scale``:
   "classic" (default): s = k1+1 for robertson/atire (the textbook
@@ -42,8 +57,19 @@ import numpy as np
 
 import jax.numpy as jnp
 
-VALID_METHODS = ("robertson", "lucene", "atire")
+VALID_METHODS = ("robertson", "lucene", "atire", "bm25l", "bm25+")
 VALID_SCORE_SCALES = ("classic", "bm25s")
+DEFAULT_DELTA = 0.5  # bm25s's default delta for bm25l / bm25+
+
+
+def nonoccurrence_score(method: str, k1: float, delta: float) -> float:
+    """tf=0 saturation value (module docstring); 0 for the classic
+    variants, nonzero for bm25l / bm25+."""
+    if method == "bm25l":
+        return (k1 + 1.0) * delta / (k1 + delta)
+    if method == "bm25+":
+        return delta
+    return 0.0
 
 
 def tf_scale_factor(method: str, k1: float, score_scale: str = "classic") -> float:
@@ -91,6 +117,9 @@ class BM25Index:
     # Score-level compatibility scale (module docstring); "classic" for
     # indexes built before the flag existed.
     score_scale: str = "classic"
+    # bm25l/bm25+ lower-bound parameter (bm25s default 0.5); unused by
+    # the classic variants.
+    delta: float = DEFAULT_DELTA
     # Host mirrors (set by build_index): avoid device->host pulls when
     # building the split accelerator, and make incremental append possible
     # (weights must be recomputed from raw counts when N/df/avgdl change).
@@ -120,14 +149,28 @@ def compute_idf(df: np.ndarray, n_docs: int, method: str) -> np.ndarray:
         return np.log1p((n_docs - df + 0.5) / (df + 0.5))
     if method == "atire":
         return np.log(n_docs / df)
+    if method == "bm25l":
+        return np.log((n_docs + 1.0) / (df + 0.5))
+    if method == "bm25+":
+        return np.log((n_docs + 1.0) / df)
     raise ValueError(f"method must be one of {VALID_METHODS}, got {method!r}")
 
 
 def tf_saturation(tf, doc_len, avgdl, k1: float, b: float, method: str,
-                  score_scale: str = "classic"):
-    """BM25 term-frequency saturation (see module docstring)."""
-    K = k1 * (1.0 - b + b * doc_len / max(avgdl, 1e-12))
-    sat = tf / (tf + K)
+                  score_scale: str = "classic",
+                  delta: float = DEFAULT_DELTA):
+    """BM25 term-frequency saturation for tf > 0 (see module docstring).
+
+    For bm25l/bm25+ this is the FULL saturation (including delta); the
+    weight table subtracts ``nonoccurrence_score`` so the stored weight
+    is the doc-dependent part."""
+    norm = 1.0 - b + b * doc_len / max(avgdl, 1e-12)
+    if method == "bm25l":
+        c = tf / norm
+        return (k1 + 1.0) * (c + delta) / (k1 + c + delta)
+    if method == "bm25+":
+        return (k1 + 1.0) * tf / (k1 * norm + tf) + delta
+    sat = tf / (tf + k1 * norm)
     return tf_scale_factor(method, k1, score_scale) * sat
 
 
@@ -169,6 +212,7 @@ def build_index(
     doc_pad_multiple: int = 2048,  # = pallas_bm25.DOC_BLOCK
     csr=None,
     score_scale: str = "classic",
+    delta: float = DEFAULT_DELTA,
 ) -> BM25Index:
     """Tokenized corpus -> device index.
 
@@ -248,13 +292,14 @@ def build_index(
 
     weights = _compute_weight_table(
         term_ids, counts, doc_lengths_pad, avgdl, idf, k1, b, method,
-        score_scale)
+        score_scale, delta)
 
     return BM25Index(
         k1=k1,
         b=b,
         method=method,
         score_scale=score_scale,
+        delta=delta,
         vocab=vocab,
         term_ids=jnp.asarray(term_ids),
         weights=jnp.asarray(weights),
@@ -274,14 +319,27 @@ def build_index(
 
 def _compute_weight_table(term_ids, counts, doc_lengths_pad, avgdl, idf,
                           k1: float, b: float, method: str,
-                          score_scale: str = "classic") -> np.ndarray:
+                          score_scale: str = "classic",
+                          delta: float = DEFAULT_DELTA) -> np.ndarray:
     """(D_pad, T) float32 BM25 contributions from the counts table.
 
     Float64 throughout (matching the flat-array build path bit-for-bit);
-    pad slots (count 0) produce weight 0 exactly."""
-    K = k1 * (1.0 - b + b * doc_lengths_pad / max(avgdl, 1e-12))
+    pad slots (count 0) produce weight 0 exactly. For bm25l/bm25+ the
+    stored weight is idf * (sat(tf) - sat(0)) — non-negative, with the
+    per-query constant idf * sat(0) shift added by the scorer on the
+    raw-score surface only (module docstring)."""
     cf = counts.astype(np.float64)
-    sat = tf_scale_factor(method, k1, score_scale) * (cf / (cf + K[:, None]))
+    norm = 1.0 - b + b * doc_lengths_pad / max(avgdl, 1e-12)
+    if method == "bm25l":
+        c = cf / norm[:, None]
+        sat = (k1 + 1.0) * (c + delta) / (k1 + c + delta)
+        sat -= nonoccurrence_score(method, k1, delta)
+    elif method == "bm25+":
+        sat = (k1 + 1.0) * cf / (k1 * norm[:, None] + cf)
+        # the +delta and the -sat0 = -delta cancel exactly
+    else:
+        K = k1 * norm
+        sat = tf_scale_factor(method, k1, score_scale) * (cf / (cf + K[:, None]))
     w = np.where(term_ids >= 0, idf[np.maximum(term_ids, 0)] * sat, 0.0)
     return w.astype(np.float32)
 
@@ -352,12 +410,14 @@ def append_to_index(
     doc_lengths_pad[n_old:n_docs] = new_len_i
 
     scale = getattr(idx, "score_scale", "classic")
+    delta = getattr(idx, "delta", DEFAULT_DELTA)
     weights = _compute_weight_table(
         term_ids, counts, doc_lengths_pad, avgdl, idf,
-        idx.k1, idx.b, idx.method, scale)
+        idx.k1, idx.b, idx.method, scale, delta)
 
     return BM25Index(
-        k1=idx.k1, b=idx.b, method=idx.method, score_scale=scale, vocab=vocab,
+        k1=idx.k1, b=idx.b, method=idx.method, score_scale=scale,
+        delta=delta, vocab=vocab,
         term_ids=jnp.asarray(term_ids),
         weights=jnp.asarray(weights),
         doc_lengths=jnp.asarray(doc_lengths_pad, dtype=jnp.float32),
@@ -380,6 +440,7 @@ def build_index_from_texts(
     use_native: bool | str = "auto",
     return_tokens: bool = True,
     score_scale: str = "classic",
+    delta: float = DEFAULT_DELTA,
 ):
     """Raw texts -> (BM25Index, corpus_tokens) using the C++ tokenizer +
     corpus builder when available (one native pass for tokenize + vocab +
@@ -407,7 +468,7 @@ def build_index_from_texts(
                 [None] * len(texts), k1=k1, b=b, method=method, vocab=vocab,
                 csr=(indptr, tids.astype(np.int64),
                      counts.astype(np.int64), dlens.astype(np.int64)),
-                score_scale=score_scale,
+                score_scale=score_scale, delta=delta,
             )
             return idx, corpus_tokens
         except (ImportError, OSError):
@@ -421,7 +482,32 @@ def build_index_from_texts(
         for t in texts
     ]
     return build_index(corpus_tokens, k1=k1, b=b, method=method,
-                       score_scale=score_scale), corpus_tokens
+                       score_scale=score_scale, delta=delta), corpus_tokens
+
+
+def query_score_shift(idx: BM25Index,
+                      query_tokens_batch: list[list[str]]) -> np.ndarray:
+    """Per-query bm25l/bm25+ nonoccurrence shift (module docstring):
+    ``sat0 * sum_t c_t * idf_t`` over the query's in-vocab token
+    occurrences. Zeros for the classic variants. Rank-neutral (constant
+    across docs within a query); the scorer adds it to the public raw
+    scores so bm25l/bm25+ score-level parity with bm25s holds."""
+    sat0 = nonoccurrence_score(idx.method, idx.k1,
+                               getattr(idx, "delta", DEFAULT_DELTA))
+    nq = len(query_tokens_batch)
+    shift = np.zeros(nq, dtype=np.float64)
+    if sat0 == 0.0:
+        return shift
+    vocab = idx.vocab
+    idf = idx.idf
+    for qi, toks in enumerate(query_tokens_batch):
+        s = 0.0
+        for tok in toks:
+            tid = vocab.get(tok)
+            if tid is not None and tid < len(idf):
+                s += idf[tid]
+        shift[qi] = sat0 * s
+    return shift
 
 
 def get_native_encoder(index):

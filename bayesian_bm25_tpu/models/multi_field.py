@@ -21,7 +21,7 @@ class MultiFieldScorer:
     def __init__(self, fields: list[str], field_weights: dict | None = None,
                  alpha="auto", base_rate=None, k1: float = 1.2,
                  b: float = 0.75, method: str = "robertson",
-                 score_scale: str = "classic") -> None:
+                 score_scale: str = "classic", delta: float = 0.5) -> None:
         if not fields:
             raise ValueError("fields must be a non-empty list")
         if len(fields) != len(set(fields)):
@@ -34,6 +34,7 @@ class MultiFieldScorer:
         self._b = b
         self._method = method
         self._score_scale = score_scale
+        self._delta = delta
 
         if field_weights is None:
             n = len(fields)
@@ -78,6 +79,7 @@ class MultiFieldScorer:
             scorer = BayesianBM25Scorer(
                 k1=self._k1, b=self._b, method=self._method,
                 base_rate=self._base_rate, score_scale=self._score_scale,
+                delta=self._delta,
             )
             scorer.index([doc[field] for doc in documents],
                          show_progress=show_progress)
@@ -127,6 +129,7 @@ class MultiFieldScorer:
             scorer = BayesianBM25Scorer(
                 k1=self._k1, b=self._b, method=self._method,
                 base_rate=self._base_rate, score_scale=self._score_scale,
+                delta=self._delta,
             )
             scorer.index_texts(field_texts, lowercase=lowercase,
                                remove_stopwords=remove_stopwords, stem=stem)

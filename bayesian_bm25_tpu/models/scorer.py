@@ -133,7 +133,10 @@ class BayesianBM25Scorer:
     """BM25 scorer that returns Bayesian-calibrated probabilities.
 
     Parameters mirror the reference (scorer.py:198-222): BM25 (k1, b,
-    method in {robertson, lucene, atire}); alpha/beta auto-estimated from
+    method in {robertson, lucene, atire, bm25l, bm25+} — the reference
+    forwards method to bm25s unvalidated, so all five bm25s variants
+    are its surface; ``delta`` is the bm25l/bm25+ lower bound, bm25s
+    default 0.5); alpha/beta auto-estimated from
     pseudo-query score statistics when None; base_rate None | "auto" |
     float, with "auto" dispatching to percentile / mixture / elbow
     estimation. ``matmul_precision`` ("high" default | "highest" |
@@ -159,6 +162,7 @@ class BayesianBM25Scorer:
         matmul_precision: str = "high",
         impact_storage: str | None = None,
         score_scale: str = "classic",
+        delta: float = eidx.DEFAULT_DELTA,
     ) -> None:
         if base_rate_method not in _VALID_BASE_RATE_METHODS:
             raise ValueError(
@@ -174,6 +178,8 @@ class BayesianBM25Scorer:
                 f"score_scale must be one of {eidx.VALID_SCORE_SCALES}, "
                 f"got {score_scale!r}"
             )
+        if not delta > 0:
+            raise ValueError(f"delta must be positive, got {delta!r}")
         if matmul_precision not in _MATMUL_PRECISIONS:
             raise ValueError(
                 f"matmul_precision must be one of "
@@ -208,6 +214,8 @@ class BayesianBM25Scorer:
         # delegates to (its robertson tfc omits k1+1 too). Rank-identical
         # either way; robertson scores differ by exactly (k1+1).
         self._score_scale = score_scale
+        # bm25l/bm25+ lower-bound parameter (bm25s default 0.5).
+        self._delta = delta
         self._user_alpha = alpha
         self._user_beta = beta
         self._user_base_rate = base_rate
@@ -296,7 +304,7 @@ class BayesianBM25Scorer:
         return eidx.build_index(
             corpus_tokens, k1=self._k1, b=self._b, method=self._method,
             doc_pad_multiple=self._doc_pad_multiple(),
-            score_scale=self._score_scale,
+            score_scale=self._score_scale, delta=self._delta,
         )
 
     def _finalize_index(self) -> None:
@@ -389,7 +397,7 @@ class BayesianBM25Scorer:
             texts, k1=self._k1, b=self._b, method=self._method,
             lowercase=lowercase, remove_stopwords=remove_stopwords,
             stem=stem, return_tokens=False,
-            score_scale=self._score_scale,
+            score_scale=self._score_scale, delta=self._delta,
         )
         self._index = idx
         if corpus_tokens is None:
@@ -480,7 +488,11 @@ class BayesianBM25Scorer:
         if not queries:
             return []
 
-        scores = self.get_scores_batch(queries)
+        # Internal (unshifted) scores: alpha/beta must calibrate the
+        # quantity the probability kernels transform. Under bm25l/bm25+
+        # the public get_scores adds a per-query shift; sampling that
+        # here would skew beta by the pseudo-queries' shifts.
+        scores = self._scores_internal(queries)
         out = []
         for row in scores:
             nz = row[row > 0]
@@ -585,7 +597,24 @@ class BayesianBM25Scorer:
             native_encoder=eidx.get_native_encoder(self._index))
 
     def get_scores_batch(self, query_tokens_batch: list[list[str]]) -> np.ndarray:
-        """Raw BM25 scores for every document, batched: (nq, num_docs)."""
+        """Raw BM25 scores for every document, batched: (nq, num_docs).
+
+        For bm25l/bm25+ the per-query nonoccurrence shift is included —
+        score-level parity with bm25s.get_scores (rank-neutral; the
+        internal calibrated pipeline works on the unshifted score, see
+        engine/index.py module docstring)."""
+        out = self._scores_internal(query_tokens_batch)
+        shift = eidx.query_score_shift(self._index, query_tokens_batch)
+        if shift.any():
+            out = out + shift[:, None]
+            if self._deleted is not None:  # keep tombstones at exactly 0
+                out[:, self._deleted] = 0.0
+        return out
+
+    def _scores_internal(
+            self, query_tokens_batch: list[list[str]]) -> np.ndarray:
+        """Engine scores (no bm25l/bm25+ shift): the quantity every
+        kernel, fit, and probability path consumes."""
         if self._index is None:
             raise RuntimeError("Call index() before scoring.")
         if self._split is not None:

@@ -125,6 +125,7 @@ def save_scorer(path: str, scorer) -> None:
         path, _meta=_meta("scorer"),
         k1=scorer._k1, b=scorer._b, method=np.array([scorer._method]),
         score_scale=np.array([getattr(scorer, "_score_scale", "classic")]),
+        delta=getattr(scorer, "_delta", 0.5),
         base_rate_method=np.array([scorer._base_rate_method]),
         term_ids=np.asarray(idx.term_ids),
         weights=np.asarray(idx.weights),
@@ -208,6 +209,8 @@ def load_scorer(path: str, *, mesh=None, n_devices: int | None = None,
     scale = (str(data["score_scale"][0]) if "score_scale" in data
              else "classic")
     kernel_kw["score_scale"] = scale
+    delta = float(data["delta"]) if "delta" in data else 0.5
+    kernel_kw["delta"] = delta
     if mesh is not None or n_devices is not None or mesh_shape is not None:
         from bayesian_bm25_tpu.parallel.sharded_scorer import (
             ShardedBayesianBM25Scorer)
@@ -251,7 +254,8 @@ def load_scorer(path: str, *, mesh=None, n_devices: int | None = None,
                      doc_lengths.dtype)])
     scorer._index = BM25Index(
         k1=float(data["k1"]), b=float(data["b"]),
-        method=str(data["method"][0]), score_scale=scale, vocab=vocab,
+        method=str(data["method"][0]), score_scale=scale, delta=delta,
+        vocab=vocab,
         term_ids=jnp.asarray(term_ids),
         weights=jnp.asarray(weights),
         doc_lengths=jnp.asarray(doc_lengths),
