@@ -315,7 +315,10 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
             self._mesh, idx.term_ids, idx.weights,
             jnp.asarray(qids), jnp.asarray(qcnt))
 
-    def get_scores_batch(self, query_tokens_batch) -> np.ndarray:
+    def _scores_internal(self, query_tokens_batch) -> np.ndarray:
+        # Overrides the base hook with the mesh-sharded kernels; the
+        # base get_scores_batch adds the bm25l/bm25+ nonoccurrence
+        # shift on top, so the public surface matches single-chip.
         if self._index is None:
             raise RuntimeError("Call index() before scoring.")
         nq = len(query_tokens_batch)

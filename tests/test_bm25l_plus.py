@@ -145,3 +145,22 @@ class TestPipelineIntegration:
         s.delete_documents([0])
         out = s.get_scores(QUERY)
         assert out[0] == 0.0  # shift must not resurrect deleted docs
+
+
+class TestShardedParity:
+    def test_sharded_public_scores_match_single_chip(self):
+        from bayesian_bm25_tpu.parallel.sharded_scorer import (
+            ShardedBayesianBM25Scorer)
+
+        rng = np.random.default_rng(9)
+        corpus = [[f"t{t}" for t in rng.integers(0, 40, 10)]
+                  for _ in range(80)]
+        qs = [[f"t{t}" for t in rng.integers(0, 40, 4)] for _ in range(4)]
+        single = BayesianBM25Scorer(method="bm25+", base_rate=0.05)
+        single.index(corpus, show_progress=False)
+        sharded = ShardedBayesianBM25Scorer(method="bm25+", base_rate=0.05,
+                                            n_devices=4)
+        sharded.index(corpus, show_progress=False)
+        np.testing.assert_allclose(
+            single.get_scores_batch(qs), sharded.get_scores_batch(qs),
+            rtol=1e-6, atol=1e-9)
