@@ -65,10 +65,15 @@ def brier_score(probabilities, labels) -> float:
 
 @on_host
 def log_loss(probabilities, labels, *, eps: float = 1e-15) -> float:
-    """Negative log-likelihood with probability clipping at ``eps``."""
-    p = jnp.clip(as_float(probabilities), eps, 1.0 - eps)
-    y = as_float(labels)
-    return float(-jnp.mean(y * jnp.log(p) + (1.0 - y) * jnp.log1p(-p)))
+    """Negative log-likelihood with probability clipping at ``eps``.
+
+    Computed in float64 on the host (reference metrics.py is numpy
+    float64): under a float32 default dtype the 1e-15 clip would round
+    away (1 - 1e-15 == 1 in f32) and exact-0/1 inputs would produce
+    inf/nan instead of the clipped penalty."""
+    p = np.clip(np.asarray(probabilities, dtype=np.float64), eps, 1.0 - eps)
+    y = np.asarray(labels, dtype=np.float64)
+    return float(-np.mean(y * np.log(p) + (1.0 - y) * np.log1p(-p)))
 
 
 @on_host

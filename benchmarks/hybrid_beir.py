@@ -61,6 +61,28 @@ from benchmarks.utils import (  # noqa: E402
 
 RRF_K = 60
 
+# Probability-producing methods whose fused values are calibration
+# diagnostics candidates (mirrors the reference's CALIBRATION_METHODS,
+# hybrid_beir.py:2480-2505 — raw-score fusions like BM25/Convex/RRF are
+# excluded; Balanced is included deliberately: its min-max fusion SCORE
+# is in [0,1] but is NOT a calibrated probability, and its poor ECE
+# next to LogOdds' is part of the published story).
+CALIBRATION_METHODS = [
+    "Bayesian-OR", "Bayesian-LogOdds", "Bayesian-LogOdds-Local",
+    "Bayesian-LogOdds-BR",
+    "Bayesian-Balanced", "Bayesian-Balanced-Mix", "Bayesian-Balanced-Elbow",
+    "Bayesian-Gated-ReLU", "Bayesian-Gated-Swish", "Bayesian-Gated-GELU",
+    "Bayesian-Gated-Swish-B2", "Bayesian-Gated-Softplus",
+    "Bayesian-Attention", "Bayesian-Attn-Norm", "Bayesian-Attn-Norm-CV",
+    "Bayesian-MultiHead", "Bayesian-MultiHead-Norm",
+    "Bayesian-MultiField", "Bayesian-MultiField-Bal",
+    "Bayesian-Vector-Balanced", "Bayesian-Vector-Softplus",
+    "Bayesian-Vector-Attn",
+    "VPT-DensityPrior", "VPT-BM25Weights",
+    "VPT-BW-0.2", "VPT-BW-0.5", "VPT-BW-1.0",
+    "Dense-Kappa", "Dense-Platt",
+]
+
 
 def _minmax(x: np.ndarray) -> np.ndarray:
     lo, hi = float(np.min(x)), float(np.max(x))
@@ -235,6 +257,10 @@ def run_dataset(
 
     # --- per-query hybrid loop ---------------------------------------------
     runs: dict[str, dict] = {}
+    # Calibration diagnostics (reference hybrid_beir.py:2492-2546): for
+    # probability-producing methods, keep fused values at JUDGED docs so
+    # ECE/Brier/LogLoss can be computed over (prob, relevance) pairs.
+    cal_store: dict[str, dict] = {}
 
     def add(method, qid, union_ids, fused_scores):
         if not want(method):
@@ -243,6 +269,15 @@ def run_dataset(
         runs.setdefault(method, {})[qid] = [
             doc_ids[union_ids[i]] for i in order[:max(k, 100)]
         ]
+        if method in CALIBRATION_METHODS:
+            judged = ds.qrels.get(qid)
+            if judged:
+                pairs = cal_store.setdefault(method, {"p": [], "y": []})
+                for i, u in enumerate(union_ids):
+                    rel = judged.get(doc_ids[u])
+                    if rel is not None:
+                        pairs["p"].append(float(fused_scores[i]))
+                        pairs["y"].append(1.0 if rel > 0 else 0.0)
 
     attn_cache = []  # (qid, union_ids, signals2, vpt_signals, feat3, feat7)
 
@@ -655,6 +690,23 @@ def run_dataset(
     results = {}
     for method, run in sorted(runs.items()):
         results[method] = evaluate_run(run, ds.qrels, k=k)
+    # Calibration diagnostics over judged (prob, label) pairs
+    # (reference hybrid_beir.py:2507-2546): attached to each method's
+    # metrics dict; printed by print_results.
+    from bayesian_bm25_tpu.utils.metrics import calibration_report
+
+    for method, pairs in cal_store.items():
+        if method not in results or len(pairs["p"]) < 2:
+            continue
+        p = np.clip(np.asarray(pairs["p"], dtype=np.float64), 0.0, 1.0)
+        y = np.asarray(pairs["y"], dtype=np.float64)
+        if len(set(y)) < 2:
+            continue
+        rep = calibration_report(p, y)
+        results[method]["ece"] = float(rep.ece)
+        results[method]["brier"] = float(rep.brier)
+        results[method]["logloss"] = float(rep.logloss)
+        results[method]["cal_samples"] = int(len(p))
     log(f"evaluated {len(results)} methods")
     return results
 
@@ -665,6 +717,15 @@ def print_results(name: str, results: dict, k: int) -> None:
                             key=lambda kv: -kv[1][f"ndcg@{k}"]):
         print(f"  {method:<28} {m[f'ndcg@{k}']*100:6.2f}  "
               f"{m[f'map@{k}']*100:6.2f}  {m[f'recall@{k}']*100:6.2f}")
+    cal = [(method, m) for method, m in sorted(results.items())
+           if "ece" in m]
+    if cal:
+        print("\n  --- Calibration Diagnostics (judged docs) ---")
+        print(f"  {'Method':<28} {'ECE':>10} {'Brier':>10} "
+              f"{'LogLoss':>10} {'Samples':>8}")
+        for method, m in sorted(cal, key=lambda kv: kv[1]["ece"]):
+            print(f"  {method:<28} {m['ece']:>10.6f} {m['brier']:>10.6f} "
+                  f"{m['logloss']:>10.6f} {m['cal_samples']:>8}")
 
 
 def main():

@@ -354,6 +354,7 @@ def synthetic_dataset_hard(
 
     queries = {}
     qrels: dict = {}
+    rng_neg = np.random.default_rng(seed + 0x5EED)
     query_emb = np.zeros((n_queries, emb_dim), dtype=np.float32)
     # Precompute per-(topic, sub) doc lists for qrels
     by_cluster: dict = {}
@@ -392,6 +393,20 @@ def synthetic_dataset_hard(
         for d in by_topic.get(topic, []):
             if doc_sub[d] != sub and not spam[d]:
                 judged[f"d{d}"] = 1
+        # Explicit grade-0 judgments (BEIR qrels carry them): a sample
+        # of off-topic docs plus this topic's spam docs. 0-grades never
+        # move ndcg/map/recall, but they give the harness's calibration
+        # diagnostics (judged-docs protocol) its negative class. A
+        # dedicated rng keeps the corpus/query streams byte-identical
+        # to pre-0-grade datasets (the archived ordering study).
+        neg_pool = rng_neg.integers(0, n_docs, size=40)
+        for d in neg_pool:
+            did = f"d{d}"
+            if did not in judged:
+                judged[did] = 0
+        for d in by_topic.get(topic, []):
+            if spam[d]:
+                judged[f"d{d}"] = 0
         if judged:
             qrels[qid] = judged
     return IRDataset(name=name, corpus=corpus, queries=queries, qrels=qrels,
