@@ -164,3 +164,35 @@ class TestShardedParity:
         np.testing.assert_allclose(
             single.get_scores_batch(qs), sharded.get_scores_batch(qs),
             rtol=1e-6, atol=1e-9)
+
+
+class TestVariantInteractions:
+    def test_score_scale_is_noop_for_bm25l_plus(self):
+        """bm25l/bm25+ ARE bm25s formulas in both scales (the k1+1
+        handling is part of their definition, not the scale knob)."""
+        for method in ("bm25l", "bm25+"):
+            a = BayesianBM25Scorer(method=method)
+            b = BayesianBM25Scorer(method=method, score_scale="bm25s")
+            a.index(CORPUS, show_progress=False)
+            b.index(CORPUS, show_progress=False)
+            np.testing.assert_array_equal(
+                np.asarray(a.get_scores(QUERY)),
+                np.asarray(b.get_scores(QUERY)))
+
+    def test_int8_storage_rank_parity(self):
+        """int8 impact storage composes with the shifted variants: same
+        top-k ids as f32 storage on a tie-free corpus."""
+        rng = np.random.default_rng(17)
+        corpus = [[f"t{t}" for t in rng.integers(0, 80, rng.integers(8, 20))]
+                  for _ in range(300)]
+        qs = [[f"t{t}" for t in rng.integers(0, 80, 5)] for _ in range(4)]
+        a = BayesianBM25Scorer(method="bm25+", base_rate=0.05,
+                               impact_storage="f32",
+                               matmul_precision="highest")
+        b = BayesianBM25Scorer(method="bm25+", base_rate=0.05,
+                               impact_storage="int8")
+        a.index(corpus, show_progress=False)
+        b.index(corpus, show_progress=False)
+        ids_a, _ = a.retrieve(qs, k=5)
+        ids_b, _ = b.retrieve(qs, k=5)
+        np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
