@@ -623,67 +623,117 @@ struct CorpusResult {
 
 namespace {
 
+inline uint32_t fnv1a_hash(const char* s, size_t n) {
+  uint32_t h = 2166136261u;
+  for (size_t i = 0; i < n; ++i) {
+    h ^= (uint8_t)s[i];
+    h *= 16777619u;
+  }
+  return h;
+}
+
 // Shared corpus-accumulation state for the two builder entry points.
+//
+// Interning uses a growable flat open-addressing table (linear probing,
+// FNV-1a, load factor <= 1/2) whose keys live in one arena string in id
+// order — a lookup is a hash plus ~1 probe with zero allocation, vs the
+// previous unordered_map<std::string,...>'s temp string + chained
+// buckets (2+ cache misses each).  Per-doc dedup is epoch-stamped:
+// last_doc/pos_of arrays indexed by term id replace the per-doc
+// unordered_map<int,int> counts + unordered_set seen pass, so a doc's
+// unique (id, count) rows are emitted in first-occurrence order during
+// the token scan itself — matching engine/index.py:_corpus_to_csr's
+// dict-insertion semantics bit-for-bit.
 struct CorpusBuild {
-  std::unordered_map<std::string, int32_t> vocab;
-  std::vector<std::string> vocab_order;
+  std::string arena;                // concatenated vocab strings, id order
+  std::vector<int64_t> offs{0};     // n_vocab + 1 into arena
+  struct Slot {
+    uint32_t hash;  // cached full hash; empty slots have id == -1
+    int32_t id;
+  };
+  std::vector<Slot> slots = std::vector<Slot>(1 << 16, Slot{0, -1});
+  size_t mask = (1 << 16) - 1;
+  // Per-term doc stamps for the in-scan dedup (grow with the vocab).
+  std::vector<int64_t> last_doc;
+  std::vector<int64_t> pos_of;
+  int64_t cur_doc = -1;
+
   std::vector<int64_t> indptr{0};
   std::vector<int32_t> term_ids;
   std::vector<int32_t> term_counts;
   std::vector<int32_t> doc_lengths;
-  // Per-doc scratch reused across docs.
-  std::vector<int32_t> doc_ids;
-  std::unordered_map<int32_t, int32_t> counts;
+
+  size_t n_vocab() const { return offs.size() - 1; }
+
+  void grow_table() {
+    size_t cap = (mask + 1) << 1;
+    std::vector<Slot> next(cap, Slot{0, -1});
+    size_t nmask = cap - 1;
+    for (const Slot& sl : slots) {
+      if (sl.id == -1) continue;
+      size_t at = sl.hash & nmask;
+      while (next[at].id != -1) at = (at + 1) & nmask;
+      next[at] = sl;
+    }
+    slots.swap(next);
+    mask = nmask;
+  }
 
   int32_t intern(const char* s, size_t n) {
-    auto it = vocab.find(std::string(s, n));  // small-string temp
-    if (it != vocab.end()) return it->second;
-    int32_t id = (int32_t)vocab_order.size();
-    vocab_order.emplace_back(s, n);
-    vocab.emplace(vocab_order.back(), id);
+    uint32_t h = fnv1a_hash(s, n);
+    size_t at = h & mask;
+    while (true) {
+      const Slot& sl = slots[at];
+      if (sl.id == -1) break;
+      if (sl.hash == h) {
+        int64_t o = offs[sl.id];
+        if ((size_t)(offs[sl.id + 1] - o) == n &&
+            std::memcmp(arena.data() + o, s, n) == 0)
+          return sl.id;
+      }
+      at = (at + 1) & mask;
+    }
+    int32_t id = (int32_t)n_vocab();
+    arena.append(s, n);
+    offs.push_back((int64_t)arena.size());
+    last_doc.push_back(-1);
+    pos_of.push_back(0);
+    slots[at] = Slot{h, id};
+    if (n_vocab() * 2 > mask) grow_table();
     return id;
   }
 
-  void begin_doc() {
-    doc_ids.clear();
-    counts.clear();
+  void begin_doc() { ++cur_doc; }
+
+  void add_token(const char* s, size_t n) {
+    int32_t id = intern(s, n);
+    if (last_doc[id] != cur_doc) {
+      last_doc[id] = cur_doc;
+      pos_of[id] = (int64_t)term_ids.size();
+      term_ids.push_back(id);
+      term_counts.push_back(1);
+    } else {
+      ++term_counts[pos_of[id]];
+    }
   }
 
-  void add_token_id(int32_t id) {
-    doc_ids.push_back(id);
-    ++counts[id];
-  }
-
-  // Emit the doc's unique (id, count) pairs in first-occurrence order —
-  // matching engine/index.py:_corpus_to_csr's dict-insertion semantics.
   void end_doc(int32_t n_tokens) {
     doc_lengths.push_back(n_tokens);
-    std::unordered_set<int32_t> seen;
-    for (int32_t id : doc_ids) {
-      if (seen.insert(id).second) {
-        term_ids.push_back(id);
-        term_counts.push_back(counts[id]);
-      }
-    }
     indptr.push_back((int64_t)term_ids.size());
   }
 };
 
 CorpusResult* pack_corpus(CorpusBuild& b) {
   auto* res = new CorpusResult();
-  std::string vocab_blob;
-  std::vector<int64_t> vocab_offsets{0};
-  for (const auto& t : b.vocab_order) {
-    vocab_blob += t;
-    vocab_offsets.push_back((int64_t)vocab_blob.size());
-  }
-  auto& vocab_order = b.vocab_order;
+  // The interner's arena/offsets ARE the id-ordered vocab blob.
+  std::string& vocab_blob = b.arena;
+  std::vector<int64_t>& vocab_offsets = b.offs;
   auto& indptr = b.indptr;
   auto& term_ids = b.term_ids;
   auto& term_counts = b.term_counts;
   auto& doc_lengths = b.doc_lengths;
 
-  res->n_vocab = (int64_t)vocab_order.size();
+  res->n_vocab = (int64_t)b.n_vocab();
   res->nnz = (int64_t)term_ids.size();
   res->vocab_blob_size = (int64_t)vocab_blob.size();
   res->doc_indptr = new int64_t[indptr.size()];
@@ -718,7 +768,7 @@ CorpusResult* bb25_build_corpus(const char* blob, const int64_t* offsets,
     b.begin_doc();
     tokenize_one(blob + offsets[d], blob + offsets[d + 1], lowercase != 0,
                  remove_stop != 0, stem, &tokens);
-    for (const auto& t : tokens) b.add_token_id(b.intern(t.data(), t.size()));
+    for (const auto& t : tokens) b.add_token(t.data(), t.size());
     b.end_doc((int32_t)tokens.size());
   }
   return pack_corpus(b);
@@ -755,7 +805,7 @@ CorpusResult* bb25_build_corpus_tokens(const char* blob, int64_t blob_len,
     b.begin_doc();
     for (int64_t j = 0; j < doc_counts[d]; ++j, ++i) {
       int64_t s = tok_off[i] + (i > 0 ? 1 : 0);
-      b.add_token_id(b.intern(blob + s, (size_t)(tok_off[i + 1] - s)));
+      b.add_token(blob + s, (size_t)(tok_off[i + 1] - s));
     }
     b.end_doc((int32_t)doc_counts[d]);
   }
