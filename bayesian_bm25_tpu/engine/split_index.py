@@ -42,12 +42,16 @@ def _round_up(x: int, m: int) -> int:
 # Rank-packed candidate build for the sparse merge (see
 # compact_tail_postings). Module flag so benchmarks can A/B the scorer
 # path; packed engages only when it actually narrows the layout.
+# Confirmed on v5e 2026-08-19 (profile_scatter.py): full 50k/8192q
+# kernel 72.8 ms packed vs 73.2 ms dense, bit-identical ids.
 PACKED_BUILD = True
 
 # Fused Pallas matmul+block-max for leader selection (engine/
-# pallas_matmul.py). Off until the TPU A/B proves it beats the
-# XLA-matmul + Pallas-reduce pair; flip after measuring
-# benchmarks/profiles/profile_fused_mm.py.
+# pallas_matmul.py). MEASURED AND REJECTED on v5e 2026-08-19
+# (profile_fused_mm.py): fused 29.4 ms vs XLA-matmul + Pallas stripe
+# reduce 28.4 ms at (8192, 51200) hilo (int8: 20.3 vs 19.5), full
+# kernel ~3% slower either way — XLA's matmul epilogue fusion already
+# overlaps the reduce. Kept as an A/B-able prototype.
 FUSED_MM = False
 
 

@@ -144,10 +144,13 @@ class BayesianBM25Scorer:
     frequent-term matmul — see the ctor comment for the speed/exactness
     trade. ``impact_storage`` (None | "f32" | "hilo" | "bf16" | "int8")
     overrides the impact-matrix representation: "int8" runs the scoring
-    matmul as two NATIVE int8 MXU passes (2x bf16 throughput on v5e) at
-    an absolute-per-doc ~amax/64500 error class — same bytes/element as
-    "bf16" with ~20x lower error; exact cross-doc score ties may
-    re-order (per-doc scales quantize tied scores apart).
+    matmul as two NATIVE int8 MXU passes (raw dot measured 1.43x the
+    bf16 rate on v5e; full retrieval kernel at speed parity with single
+    bf16 and 1.11x hilo — profiles/profile_int8.py) at an absolute
+    ~amax/64500 per-doc error class — same bytes/element as "bf16" with
+    ~20x lower error; exact cross-doc score ties may re-order (per-doc
+    scales quantize tied scores apart). It is also the automatic
+    storage past 2^18 padded docs.
     """
 
     def __init__(
@@ -191,9 +194,10 @@ class BayesianBM25Scorer:
                 f"'bf16', 'int8'), got {impact_storage!r}"
             )
         # Explicit impact-matrix representation override; None maps it
-        # from matmul_precision (and to bf16 on huge corpora). "int8"
+        # from matmul_precision (and to int8 on huge corpora). "int8"
         # stores a (hi, lo) int8 pair + per-doc scale: two NATIVE int8
-        # MXU passes (2x bf16 throughput on v5e) at ~3e-5 relative —
+        # MXU passes (raw dot 1.43x the bf16 rate on v5e, full kernel
+        # at bf16 speed parity — profile_int8.py) at ~3e-5 relative —
         # same bytes as one bf16 copy, so it is also the sharpest
         # storage that fits huge-corpus budgets.
         self._impact_storage = impact_storage
@@ -201,9 +205,11 @@ class BayesianBM25Scorer:
         # matmul. "high" (3 passes, the default) keeps scores within
         # ~1e-5 relative of "highest" (6 passes, bit-equal to the
         # doc-major compare path) at +20% retrieval throughput — measured
-        # identical top-10 sets at 50k docs. "default" (1 pass, bf16) is
-        # ~4e-4, the tolerance class of the automatic bf16 storage at
-        # >=256k docs. tf/presence math is exact under every setting.
+        # identical top-10 sets at 50k docs. "default" (1 pass, bf16)
+        # is ~4e-4 — the opt-in single-bf16 storage tier's class; the
+        # automatic >=256k-doc tier is the sharper int8 pair (~2e-4
+        # worst-case, ~3e-5 typical). tf/presence math is exact under
+        # every setting.
         self._matmul_precision = _MATMUL_PRECISIONS[matmul_precision]
         self._matmul_precision_name = matmul_precision
         self._k1 = k1
@@ -234,16 +240,19 @@ class BayesianBM25Scorer:
         self._deleted: np.ndarray | None = None
 
     # Split index is built when its dense matrices stay under this
-    # budget (impact f32/bf16 + presence bf16, K columns x D_pad rows);
+    # budget (impact storage + presence bf16, K columns x D_pad rows);
     # beyond it the doc-major compare path alone is the memory-sane
-    # choice. Past _SPLIT_BF16_MIN_DOCS the impact matrix is stored in
-    # bfloat16: per-element rounding is ~0.4% relative on scores (see
-    # tests/test_split_bf16.py for the ranking-tolerance story), and the
-    # halved footprint keeps K large — which the sparse-candidate
-    # retrieve path needs, because rare-term postings lengths are
-    # bounded by the K-th most frequent term's df.
+    # choice. Past _SPLIT_INT8_MIN_DOCS the impact matrix is stored as
+    # an (hi, lo) int8 pair with per-doc scales: the same 2 bytes/element
+    # as single-bf16 but ~20x lower score error (2e-4 vs 3e-3 max
+    # relative), and measured speed parity on v5e (66.0 ms vs bf16's
+    # 64.7 ms, vs hilo's 73.1 ms, full kernel at the 50k/8192q bench
+    # regime — profiles/profile_int8.py). The halved footprint (vs the
+    # hilo pair) keeps K large — which the sparse-candidate retrieve
+    # path needs, because rare-term postings lengths are bounded by the
+    # K-th most frequent term's df.
     _SPLIT_BUDGET_BYTES = 4 << 30
-    _SPLIT_BF16_MIN_DOCS = 1 << 18
+    _SPLIT_INT8_MIN_DOCS = 1 << 18
     # Serving-batch auto-chunking: the retrieval kernel's dominant
     # intermediate is the (nq, D_pad) f32 score matrix; keep it under
     # this budget by splitting oversized caller batches into pipelined
@@ -257,21 +266,22 @@ class BayesianBM25Scorer:
 
         idx = self._index
         D_pad = idx.term_ids.shape[0]
-        use_bf16 = D_pad >= self._SPLIT_BF16_MIN_DOCS
+        use_int8 = D_pad >= self._SPLIT_INT8_MIN_DOCS
         if self._impact_storage is not None:
             storage = self._impact_storage
         else:
-            storage = "bf16" if use_bf16 else self._split_storage()
+            storage = "int8" if use_int8 else self._split_storage()
         # Bytes per K column: impact pair (int8 hi+lo = 2, hilo bf16
         # pair = 4, single bf16 = 2, f32 = 4) + bf16 presence (2).
         impact_bytes = {"int8": 2, "hilo": 4, "bf16": 2}.get(storage, 4)
         bytes_per_col = D_pad * (impact_bytes + 2)
         k_budget = self._SPLIT_BUDGET_BYTES // max(bytes_per_col, 1)
-        # K=2048 is the measured sweet spot at 50k docs (sparse-candidate
-        # kernel 62 ms/4096-query batch; K=1024 regresses to 85 ms as
-        # postings widen, K=3072 regresses as the matmul outgrows the
-        # savings). The budget clamp keeps huge corpora within HBM
-        # (e.g. K=1024 bf16 at 1M docs).
+        # K=2048 is the measured sweet spot at 50k docs (re-swept on
+        # v5e 2026-08-19, profiles/profile_ksweep.py, 8192q batches:
+        # K=2048 72 ms; K=3072 regresses to 87-89 ms as the matmul
+        # outgrows the postings savings; K=1536/1024 regress to 157/
+        # 253 ms as postings widen). The budget clamp keeps huge
+        # corpora within HBM (e.g. K=1024 at 1M docs).
         K = min(2048, (k_budget // 128) * 128,
                 ((max(idx.n_terms, 1) + 127) // 128) * 128)
         if K >= 128 and idx.n_terms > 256:

@@ -42,21 +42,21 @@ def main():
             jnp.asarray(fslots), jnp.asarray(fcnt), K)
         qvec = jax.block_until_ready(qvec)
 
-        # stage A/B: unfused matmul + reduce vs fused
-        def unfused(qv):
+        # stage A/B: unfused matmul + reduce vs fused. The matrices go
+        # in as ARGUMENTS — a closure would embed them as HLO constants
+        # and blow the tunnel's remote_compile body limit (HTTP 413).
+        def unfused(qv, imp, lo, scale):
             sc = sidx._impact_matmul(
-                qv, s.dense_impact, s.dense_impact_lo,
-                scorer._matmul_precision, scale=s.impact_scale)
+                qv, imp, lo, scorer._matmul_precision, scale=scale)
             return sc, pr.block_max(sc, 256, valid_upto=idx.n_docs)
 
-        def fused(qv):
-            return pm.impact_matmul_bmax(
-                qv, s.dense_impact, s.dense_impact_lo,
-                s.impact_scale, idx.n_docs)
+        def fused(qv, imp, lo, scale):
+            return pm.impact_matmul_bmax(qv, imp, lo, scale, idx.n_docs)
 
+        margs = (s.dense_impact, s.dense_impact_lo, s.impact_scale)
         for name, f in (("unfused", unfused), ("fused", fused),
                         ("unfused2", unfused), ("fused2", fused)):
-            ms, out = timed(jax.jit(f), qvec)
+            ms, out = timed(jax.jit(f), qvec, *margs)
             print(f"  {name:9s} matmul+bmax {ms:7.2f} ms", flush=True)
 
         # full kernel A/B

@@ -1,12 +1,13 @@
 """bfloat16 impact-matrix option (large-corpus memory mode).
 
-Past _SPLIT_BF16_MIN_DOCS the scorer stores the frequent-term impact
-matrix in bf16 (presence is always bf16 — 0/1 is exact there). These
-tests pin the tolerance story: per-element rounding is bounded by
-bf16's 2^-8 relative step, rankings stay intact on a realistic corpus,
-and the sparse-candidate path remains internally consistent (its
-exactness argument needs only non-negativity, which rounding
-preserves)."""
+Past _SPLIT_INT8_MIN_DOCS the scorer stores the frequent-term impact
+matrix as an (hi, lo) int8 pair with per-doc scales (presence is always
+bf16 — 0/1 is exact there); single-bf16 remains the opt-in
+`impact_storage="bf16"` tier these tests characterize. They pin the
+tolerance story: per-element rounding is bounded by bf16's 2^-8
+relative step, rankings stay intact on a realistic corpus, and the
+sparse-candidate path remains internally consistent (its exactness
+argument needs only non-negativity, which rounding preserves)."""
 
 import numpy as np
 import pytest
@@ -108,12 +109,16 @@ class TestBf16Tolerance:
         assert sh._split.dense_impact.dtype == jnp.float32
         assert sh._split.dense_impact_lo is None
         # threshold behavior is by padded doc count; patch the constant
-        # down instead of building 262k docs
+        # down instead of building 262k docs. Past the threshold the
+        # auto storage is the int8 (hi, lo) pair: same bytes as single
+        # bf16, ~20x lower error, v5e speed parity (profile_int8.py).
         s2 = BayesianBM25Scorer()
-        s2._SPLIT_BF16_MIN_DOCS = 64
+        s2._SPLIT_INT8_MIN_DOCS = 64
         s2.index(small, show_progress=False)
-        assert s2._split.dense_impact.dtype == jnp.bfloat16
-        assert s2._split.dense_impact_lo is None
+        assert s2._split.dense_impact.dtype == jnp.int8
+        assert s2._split.dense_impact_lo is not None
+        assert s2._split.dense_impact_lo.dtype == jnp.int8
+        assert s2._split.impact_scale is not None
         assert s2._split.dense_presence.dtype == jnp.bfloat16
         i1, p1 = s.retrieve([small[0][:4]], k=5)
         i2, p2 = s2.retrieve([small[0][:4]], k=5)
