@@ -68,8 +68,16 @@ def main():
               f"rect = {len(inside)*cap/1e6:.0f}M (real {inside.sum()/1e6:.0f}M), "
               f"{n_mid} mid terms left for the compare tail", flush=True)
 
+    # Stage attribution runs at 512 queries: each stage prefix RETURNS
+    # its (nq, D_pad) f32 matrix, and at 1M docs a 1024-query output is
+    # 4 GB — the prefix programs (input + output live) OOM the 16 GB
+    # chip next to the resident index. Per-query stage costs scale
+    # linearly; the end-to-end retrieve below still uses the
+    # production 1024-query auto-chunk.
     queries = [[f"t{q}" for q in rng.zipf(1.3, size=8) % vocab]
-               for _ in range(1024)]
+               for _ in range(512)]
+    queries_e2e = [[f"t{q}" for q in rng.zipf(1.3, size=8) % vocab]
+                   for _ in range(1024)]
     enc = sidx.encode_queries_split(queries, s)
     fslots, fcnt, trows, tqids, tqcnt = map(jnp.asarray, enc)
     nt = trows.shape[0]
@@ -77,6 +85,7 @@ def main():
           flush=True)
     prec = scorer._matmul_precision
     Kd = s.dense_impact.shape[1]
+    qok = sidx._q_int8_ok(s, np.asarray(fcnt))  # host-side, pre-trace
 
     def prefix(stage):
         @jax.jit
@@ -85,7 +94,9 @@ def main():
             from bayesian_bm25_tpu.ops import transform as T
             nq = fslots.shape[0]
             qvec, qpres = sidx._densify_queries(fslots, fcnt, Kd)
-            scores = sidx._impact_matmul(qvec, impact, impact_lo, prec)
+            scores = sidx._impact_matmul(
+                qvec, impact, impact_lo, prec, scale=s.impact_scale,
+                q_int8_ok=qok)
             if stage == "matmul":
                 return scores
             t_scores, _ = sidx._compare_table(tids, tw, tqids, tqcnt)
@@ -128,16 +139,20 @@ def main():
             fslots, fcnt, trows, tqids, tqcnt)
     prev = 0.0
     for stage in ("matmul", "compare", "scatter", "select", "full"):
-        ms, _ = timed(prefix(stage), *args, reps=3)
+        # release=True: a single (nq, D_pad) f32 stage output is 4 GB
+        # at 1M docs — two live copies (prev rep + in-flight) OOM the
+        # 16 GB chip.
+        ms, out = timed(prefix(stage), *args, reps=3, release=True)
+        del out
         print(f"{stage:8s} cumulative {ms:8.2f} ms  stage {ms-prev:8.2f}",
               flush=True)
         prev = ms
 
     # end-to-end single chunk through the public API
-    scorer.retrieve(queries, k=10)
+    scorer.retrieve(queries_e2e, k=10)
     t0 = time.perf_counter()
     for _ in range(3):
-        scorer.retrieve(queries, k=10)
+        scorer.retrieve(queries_e2e, k=10)
     print(f"retrieve() wall          {(time.perf_counter()-t0)/3*1e3:8.2f}"
           " ms/chunk", flush=True)
 
