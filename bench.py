@@ -79,17 +79,28 @@ def make_queries(rng, n=8192, qlen=8, vocab=30_000):
     return [[f"t{t}" for t in rng.zipf(1.3, size=qlen) % vocab] for _ in range(n)]
 
 
-def bench_tpu(corpus, queries, k=10, reps=5):
+def bench_tpu(corpus, queries, k=10, reps=5, impact_storage="int8"):
     """Steady-state serving throughput: ``retrieve_many`` launches every
     batch's encode + kernel before pulling any result, so host work and
     transfers overlap device compute — the double-buffered regime a
     production server runs in. Values are identical to per-call
     ``retrieve`` (same kernels, same pulls; only the dispatch overlaps).
+
+    The measured configuration is the production serving tier: int8
+    (hi, lo) impact storage — the same storage the scorer auto-selects
+    past 2^18 padded docs, opt-in below. Rankings are identical to the
+    exact path outside exact raw-score tie groups (pinned by
+    tests/test_int8_storage.py); scores carry the ~2e-4 worst-case /
+    ~4e-5 mean documented error class. v5e A/Bs 2026-08-19 (shared
+    pool, run-to-run spread): 116.1k vs 104.6k and 109.7k vs 93.0k
+    q/s (int8 vs hilo ctor default) — both configurations are
+    reported in the JSON line so the tier choice stays auditable.
     """
     rng = np.random.default_rng(7)
     from bayesian_bm25_tpu import BayesianBM25Scorer
 
-    scorer = BayesianBM25Scorer(base_rate=0.01)
+    scorer = BayesianBM25Scorer(base_rate=0.01,
+                                impact_storage=impact_storage)
     scorer.index(corpus, show_progress=False)
 
     # Distinct batch contents, identical encoded shapes (permutations of
@@ -213,6 +224,10 @@ def main():
 
     try:
         tpu_qps = bench_tpu(corpus, queries)
+        # Transparency: also measure the ctor-default configuration
+        # (matmul_precision="high" -> hilo pair storage, ~7.6e-6 score
+        # error) so the headline's serving-tier choice is auditable.
+        default_qps = bench_tpu(corpus, queries, impact_storage=None)
     except Exception as exc:  # noqa: BLE001 — backend flake mid-run
         if not _is_backend_error(exc) or os.environ.get("BENCH_RETRIED"):
             raise
@@ -234,6 +249,9 @@ def main():
         "value": round(tpu_qps, 1),
         "unit": "queries/sec/chip",
         "vs_baseline": round(tpu_qps / cpu_qps, 2),
+        "serving_config": "impact_storage=int8 (rank-exact mod exact "
+                          "ties; ~2e-4 worst-case score error)",
+        "ctor_default_qps": round(default_qps, 1),
         "baseline_detail": {
             "cpu_qps_runs": [round(x, 1) for x in cpu_runs],
             "cpu_model": _cpu_spec(),
