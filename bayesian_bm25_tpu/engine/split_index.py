@@ -169,16 +169,79 @@ def build_split_index(
     slots = np.where(valid, freq_slot[np.maximum(tids, 0)], K)
     is_freq = slots < K
 
-    # Dense matrices (one extra overflow column K absorbs rare/pad writes).
+    # Dense tables, built blockwise in the FINAL storage dtype. The
+    # straightforward route (scatter a (D_pad, K) f32 staging matrix,
+    # then quantize it whole) allocates 8 GB per table at 1M docs and
+    # touches >100 GB of host memory across its temporaries — ~7.5 min
+    # of single-core numpy and the entire 1M-doc load_scorer cost.
+    # 128k-doc blocks keep the f32 staging footprint at ~1 GB, scatter
+    # only the real frequent entries (int32 block-local indices), and
+    # write int8/bf16/uint8 results directly. The per-doc quantization
+    # math is row-local, so blockwise results are bit-identical.
     # Presence is built from term membership, not weight > 0: a frequent
     # term with idf 0 (robertson floor) still counts toward |q ∩ doc|.
-    impact = np.zeros((D_pad, K + 1), dtype=np.float32)
-    presence = np.zeros((D_pad, K + 1), dtype=np.float32)
-    rows = np.repeat(np.arange(D_pad), T).reshape(D_pad, T)
-    impact[rows, slots] = np.where(is_freq, w, 0.0)
-    presence[rows, slots] = np.where(is_freq, 1.0, 0.0)
-    impact = impact[:, :K]
-    presence = presence[:, :K]
+    fsel = valid & is_freq
+    presence_u8 = np.zeros((D_pad, K), dtype=np.uint8)
+    bf16 = jnp.bfloat16.dtype  # ml_dtypes bfloat16 as a numpy dtype
+    hi_out = lo_out = s_arr = s2_arr = imp_f32 = None
+    if storage == "int8":
+        hi_out = np.empty((D_pad, K), dtype=np.int8)
+        lo_out = np.empty((D_pad, K), dtype=np.int8)
+        s_arr = np.empty(D_pad, dtype=np.float32)
+        s2_arr = np.empty(D_pad, dtype=np.float32)
+    elif storage in ("hilo", "bf16"):
+        hi_out = np.empty((D_pad, K), dtype=bf16)
+        if storage == "hilo":
+            lo_out = np.empty((D_pad, K), dtype=bf16)
+    else:
+        imp_f32 = np.zeros((D_pad, K), dtype=np.float32)
+
+    _B = 1 << 17
+    blk = (np.zeros((min(_B, D_pad), K), dtype=np.float32)
+           if storage != "f32" else None)
+    for d0 in range(0, D_pad, _B):
+        d1 = min(d0 + _B, D_pad)
+        bsel = fsel[d0:d1]
+        br, _ = np.nonzero(bsel)
+        bslot = slots[d0:d1][bsel]
+        bw = w[d0:d1][bsel].astype(np.float32, copy=False)
+        presence_u8[d0:d1][br, bslot] = 1
+        if storage == "f32":
+            imp_f32[d0:d1][br, bslot] = bw
+            continue
+        bv = blk[: d1 - d0]
+        bv[:] = 0.0
+        bv[br, bslot] = bw
+        if storage == "int8":
+            # Per-DOC scales so they factor out of the K-sum: the
+            # epilogue multiplies score column d by s_d, keeping both
+            # dot passes in pure int8/int32. (A per-term scale would
+            # have to multiply inside the sum and break the integer
+            # dot.) The residual gets its OWN per-doc scale (row 1), so
+            # the representable range tracks the actual rounding error
+            # instead of a fixed 1/128 — element error <= s2_d/2 ~=
+            # amax_d / 64500.
+            amax = np.abs(bv).max(axis=1)
+            s = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+            q = bv / s[:, None]
+            hi = np.clip(np.rint(q), -127, 127)
+            resid = (q - hi) * s[:, None]            # true value units
+            rmax = np.abs(resid).max(axis=1)
+            s2 = np.where(rmax > 0, rmax / 127.0, 1.0).astype(np.float32)
+            hi_out[d0:d1] = hi
+            lo_out[d0:d1] = np.clip(np.rint(resid / s2[:, None]),
+                                    -127, 127)
+            s_arr[d0:d1] = s
+            s2_arr[d0:d1] = s2
+        elif storage == "hilo":
+            # Round to bf16, pull the rounded value back to f32 to form
+            # the residual exactly, round the residual to bf16 (both
+            # casts round-to-nearest-even, matching the device convert).
+            hi = bv.astype(bf16)
+            hi_out[d0:d1] = hi
+            lo_out[d0:d1] = (bv - hi.astype(np.float32)).astype(bf16)
+        else:  # bf16
+            hi_out[d0:d1] = bv.astype(bf16)
 
     # Two-level tail: the primary table is sized by the 90th-percentile
     # rare-term count (docs are heavy-tailed here too); the few docs with
@@ -204,7 +267,9 @@ def build_split_index(
 
     sel = valid & ~is_freq
     row_idx, _ = np.nonzero(sel)
-    col_idx = (np.cumsum(sel, axis=1) - 1)[sel]
+    # int32 accumulator: the default int64 promotion doubles the memory
+    # traffic of this (D_pad, T) pass for no range benefit (T < 2^31).
+    col_idx = (np.cumsum(sel, axis=1, dtype=np.int32) - 1)[sel]
     flat_tids = tids[sel]
     flat_w = w[sel]
 
@@ -234,36 +299,13 @@ def build_split_index(
     )
 
     impact_scale = None
-    if storage == "hilo":
-        # Round to bf16, pull the rounded value back to f32 to form the
-        # residual exactly, round the residual to bf16.
-        hi_j = jnp.asarray(impact, dtype=jnp.bfloat16)
-        impact_primary = hi_j
-        impact_lo = jnp.asarray(
-            impact - np.asarray(hi_j, dtype=np.float32), dtype=jnp.bfloat16)
-    elif storage == "int8":
-        # Per-DOC scales so they factor out of the K-sum: the epilogue
-        # multiplies score column d by s_d, keeping both dot passes in
-        # pure int8/int32. (A per-term scale would have to multiply
-        # inside the sum and break the integer dot.) The residual gets
-        # its OWN per-doc scale (row 1), so the representable range
-        # tracks the actual rounding error instead of a fixed 1/128 —
-        # element error <= s2_d/2 ~= amax_d / 64500.
-        amax = np.abs(impact).max(axis=1)
-        s = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-        q = impact / s[:, None]
-        hi = np.clip(np.rint(q), -127, 127)         # |q| <= 127 (+eps)
-        resid = (q - hi) * s[:, None]               # true value units
-        rmax = np.abs(resid).max(axis=1)
-        s2 = np.where(rmax > 0, rmax / 127.0, 1.0).astype(np.float32)
-        lo = np.clip(np.rint(resid / s2[:, None]), -127, 127)
-        impact_primary = jnp.asarray(hi.astype(np.int8))
-        impact_lo = jnp.asarray(lo.astype(np.int8))
-        impact_scale = jnp.asarray(np.stack([s, s2]))
+    if storage == "int8":
+        impact_primary = jnp.asarray(hi_out)
+        impact_lo = jnp.asarray(lo_out)
+        impact_scale = jnp.asarray(np.stack([s_arr, s2_arr]))
     else:
-        impact_primary = jnp.asarray(
-            impact, dtype=jnp.bfloat16 if storage == "bf16" else jnp.float32)
-        impact_lo = None
+        impact_primary = jnp.asarray(hi_out if imp_f32 is None else imp_f32)
+        impact_lo = None if lo_out is None else jnp.asarray(lo_out)
 
     return SplitBM25Index(
         base=base,
@@ -272,8 +314,10 @@ def build_split_index(
         dense_impact=impact_primary,
         dense_impact_lo=impact_lo,
         # Presence entries are 0/1 — exact in bf16; halves the matrix's
-        # HBM footprint and gather/matmul traffic (accumulation stays f32).
-        dense_presence=jnp.asarray(presence, dtype=jnp.bfloat16),
+        # HBM footprint and gather/matmul traffic (accumulation stays
+        # f32). Transferred as uint8 (1 B/element over the host link)
+        # and widened on device.
+        dense_presence=jnp.asarray(presence_u8).astype(jnp.bfloat16),
         tail_term_ids=jnp.asarray(tail_ids),
         tail_weights=jnp.asarray(tail_w),
         over_term_ids=None if over_ids is None else jnp.asarray(over_ids),

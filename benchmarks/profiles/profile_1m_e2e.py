@@ -27,8 +27,11 @@ def main():
     from bayesian_bm25_tpu.utils.io import load_scorer
     t0 = time.time()
     scorer = load_scorer(CACHE)
-    print(f"load {time.time()-t0:.0f}s  storage="
-          f"{scorer._split.storage}  K={scorer._split.n_frequent}",
+    sp = scorer._split
+    storage = (scorer._split.dense_impact.dtype.name if sp.impact_scale
+               is None else "int8")
+    print(f"load {time.time()-t0:.0f}s  storage={storage}  "
+          f"K={sp.n_frequent}  T_A={sp.tail_term_ids.shape[1]}",
           flush=True)
 
     queries = [[f"t{q}" for q in rng.zipf(1.3, size=8) % vocab]
