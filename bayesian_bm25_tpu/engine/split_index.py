@@ -93,6 +93,14 @@ class SplitBM25Index:
     # df > N/2). Lets the sparse merge derive tf counts from the sign of
     # the sorted contributions instead of co-sorting a third operand.
     post_w_positive: bool = False
+    # device: narrow doc-major table for MID terms — rare terms whose df
+    # exceeds the postings width cap (huge corpora only; None when every
+    # rare term fits the postings budget). Mid contributions are added
+    # to the dense scores by a compare sweep over this table BEFORE
+    # leader selection, so the sparse-candidate exactness argument holds
+    # with "matmul score" read as "matmul + mid score".
+    mid_term_ids: jnp.ndarray | None = field(repr=False, default=None)
+    mid_weights: jnp.ndarray | None = field(repr=False, default=None)
     # device: (2, D_pad) per-doc dequantization scales under "int8"
     # storage (impact ~= scale[0]*hi + scale[1]*lo, elementwise per doc
     # row); None otherwise. The scales multiply the SCORE columns
@@ -294,9 +302,27 @@ def build_split_index(
         over_ids[row_map, o_cols] = flat_tids[~in_primary]
         over_w[row_map, o_cols] = flat_w[~in_primary]
 
-    rare_slot, post_ids, post_w, rare_df = _build_rare_postings(
+    rare_slot, post_ids, post_w, rare_df, mid_mask = _build_rare_postings(
         freq_slot, K, V, D_pad, row_idx, flat_tids, flat_w
     )
+
+    # Over-cap mid terms: narrow doc-major (D_pad, T_M) table. Entries
+    # arrive row-major (docs ascending, query-slot order within a doc),
+    # so per-doc ranks preserve the compare kernel's summation order.
+    mid_ids = mid_w = None
+    if mid_mask is not None and mid_mask.any():
+        m_rows = row_idx[mid_mask]
+        m_tids = flat_tids[mid_mask]
+        m_w = flat_w[mid_mask]
+        mcnt = np.bincount(m_rows, minlength=D_pad)
+        T_M = _round_up(max(int(mcnt.max()), 1), tail_pad_multiple)
+        first = np.zeros(D_pad + 1, dtype=np.int64)
+        np.cumsum(mcnt, out=first[1:])
+        col_m = np.arange(len(m_rows)) - first[m_rows]
+        mid_ids = np.full((D_pad, T_M), eidx.DOC_PAD, dtype=np.int32)
+        mid_w = np.zeros((D_pad, T_M), dtype=np.float32)
+        mid_ids[m_rows, col_m] = m_tids
+        mid_w[m_rows, col_m] = m_w
 
     impact_scale = None
     if storage == "int8":
@@ -329,6 +355,8 @@ def build_split_index(
         rare_df=rare_df,
         post_w_positive=bool((flat_w > 0).all()) if len(flat_w) else True,
         impact_scale=impact_scale,
+        mid_term_ids=None if mid_ids is None else jnp.asarray(mid_ids),
+        mid_weights=None if mid_w is None else jnp.asarray(mid_w),
     )
 
 
@@ -346,6 +374,17 @@ def _build_rare_postings(freq_slot, K, V, D_pad, row_idx, flat_tids, flat_w):
     rare terms); docs within a row ascend. P = max rare document
     frequency, rounded up — bounded by construction: a rare term's df is
     at most the df of the K-th most frequent term.
+
+    When the full-width rectangle blows the entries budget (1M-doc
+    corpora: a 3.7k max rare df -> 446M entries), P is capped at the
+    widest multiple of 8 the budget allows and the few over-cap "mid"
+    terms (1.5% of the rare vocabulary in the 1M reference regime) are
+    remapped to the sentinel slot R — the caller routes them to a
+    narrow doc-major mid table instead (compare sweep, pre-selection).
+
+    Returns (rare_slot, post_ids, post_w, rare_df, mid_entry_mask):
+    ``mid_entry_mask`` selects the (doc, term) entries of the caller's
+    flat arrays that belong to mid terms (None when no cap engaged).
     """
     rare_terms = np.where(freq_slot[:V] >= K)[0] if V else np.empty(0, int)
     R = len(rare_terms)
@@ -355,25 +394,41 @@ def _build_rare_postings(freq_slot, K, V, D_pad, row_idx, flat_tids, flat_w):
     if R == 0 or len(flat_tids) == 0:
         post_ids = np.full((R + 1, 8), D_pad, dtype=np.int32)
         post_w = np.zeros((R + 1, 8), dtype=np.float32)
-        return rare_slot, post_ids, post_w, np.zeros(R + 1, dtype=np.int64)
+        return (rare_slot, post_ids, post_w,
+                np.zeros(R + 1, dtype=np.int64), None)
 
     tslot = rare_slot[flat_tids]
     cnt = np.bincount(tslot, minlength=R)
-    rare_df = np.append(cnt, 0).astype(np.int64)  # sentinel row: df 0
     P = _round_up(max(int(cnt.max()), 1), 8)
+    mid_mask = None
+    keep_slot, keep_rows, keep_w = tslot, row_idx, flat_w
     if (R + 1) * P > _POSTINGS_MAX_ENTRIES:
-        return rare_slot, None, None, None
+        width_cap = (_POSTINGS_MAX_ENTRIES // (R + 1)) // 8 * 8
+        if width_cap < 16:
+            # Budget can't hold a useful rectangle (pathological: huge
+            # rare vocab AND huge dfs) — doc-major compare tail instead.
+            return rare_slot, None, None, None, None
+        mid_slots = np.where(cnt > width_cap)[0]
+        rare_slot[rare_terms[mid_slots]] = R
+        tslot = rare_slot[flat_tids]
+        mid_mask = tslot == R
+        keep = ~mid_mask
+        keep_slot, keep_rows, keep_w = tslot[keep], row_idx[keep], flat_w[keep]
+        cnt = np.bincount(keep_slot, minlength=R) if keep.any() else (
+            np.zeros(R, dtype=np.int64))
+        P = _round_up(max(int(cnt.max()), 1), 8)
 
-    order = np.lexsort((row_idx, tslot))
-    st = tslot[order]
+    rare_df = np.append(cnt, 0).astype(np.int64)  # sentinel row: df 0
+    order = np.lexsort((keep_rows, keep_slot))
+    st = keep_slot[order]
     starts = np.zeros(R + 1, dtype=np.int64)
     np.cumsum(cnt, out=starts[1:])
     col = np.arange(len(st)) - starts[st]
     post_ids = np.full((R + 1, P), D_pad, dtype=np.int32)
     post_w = np.zeros((R + 1, P), dtype=np.float32)
-    post_ids[st, col] = row_idx[order]
-    post_w[st, col] = flat_w[order]
-    return rare_slot, post_ids, post_w, rare_df
+    post_ids[st, col] = keep_rows[order]
+    post_w[st, col] = keep_w[order]
+    return rare_slot, post_ids, post_w, rare_df, mid_mask
 
 
 def build_sharded_postings(split: SplitBM25Index, n_shards: int):
@@ -441,6 +496,39 @@ def map_tail_slots(tail_qids: np.ndarray, split: SplitBM25Index) -> np.ndarray:
     tq = np.asarray(tail_qids)
     safe = np.clip(tq, 0, len(rare_slot) - 1)
     return np.where(tq >= 0, np.minimum(rare_slot[safe], R), R).astype(np.int32)
+
+
+def build_mid_queries(tail_rows, tail_qids, tail_qcnt,
+                      split: SplitBM25Index, nq_pad: int):
+    """Mid-tier query grids for the capped-postings path (host-side).
+
+    Picks the over-cap rare terms out of the (nt, Qt) tail group — the
+    ones ``map_tail_slots`` sends to the sentinel row — and lays them
+    out per QUERY as (nq_pad, Qm) id/count grids (pads QUERY_PAD / 0)
+    for the kernel's mid compare sweep. Qm is power-of-2 bucketed to
+    bound compile count. Returns (None, None) when the batch has no mid
+    terms — the kernel then skips the sweep entirely.
+    """
+    rs = split.rare_slot_of_term
+    R = split.post_doc_ids.shape[0] - 1
+    tq = np.asarray(tail_qids)
+    tc = np.asarray(tail_qcnt)
+    tr = np.asarray(tail_rows)
+    safe = np.clip(tq, 0, len(rs) - 1)
+    is_mid = (tq >= 0) & (rs[safe] >= R)
+    if not is_mid.any():
+        return None, None
+    rows, js = np.nonzero(is_mid)          # row-major: j ascending per row
+    counts = is_mid.sum(axis=1)
+    Qm = _pow2_bucket(int(counts.max()), 1)
+    first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(rows)) - first[rows]
+    qids = np.full((nq_pad, Qm), eidx.QUERY_PAD, dtype=np.int32)
+    qcnt = np.zeros((nq_pad, Qm), dtype=np.float32)
+    q_of = tr[rows]                        # tail row -> query index
+    qids[q_of, rank] = tq[rows, js]
+    qcnt[q_of, rank] = tc[rows, js]
+    return qids, qcnt
 
 
 def _pow2_bucket(n: int, minimum: int) -> int:
@@ -1096,8 +1184,13 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
     m_tf_tail = jnp.take_along_axis(tf_tot, m_pos, axis=1)
 
     # Scatter merged rows back; pad tail rows (slot row R everywhere)
-    # target a trash row so they cannot clobber query 0.
-    is_pad_row = tail_slots[:, 0] >= R
+    # target a trash row so they cannot clobber query 0. A row is pad
+    # only when ALL slots are the sentinel: under the capped-postings
+    # mid tier a REAL row can lead with a mid term (slot R), and an
+    # all-mid row is safe to route to trash too — its postings are all
+    # empty, so its merge output equals the leaders it would overwrite
+    # (mid contributions already live in `scores`).
+    is_pad_row = jnp.all(tail_slots >= R, axis=1)
     trow_safe = jnp.where(is_pad_row, nq, tail_rows)
     zrow_i = jnp.zeros((1, k), topm_ids.dtype)
     zrow_f = jnp.zeros((1, k), jnp.float32)
@@ -1123,6 +1216,7 @@ def retrieve_topk_split_sparse(
     doc_mask=None, impact_lo=None, pallas_gather: bool = False,
     tf_from_sign: bool = False, compact=None, compact_rmax: int = 0,
     impact_scale=None, q_int8_ok: bool = True, fused_mm: bool = False,
+    mid_ids=None, mid_w=None, mid_qids=None, mid_qcnt=None,
 ):
     """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
 
@@ -1154,7 +1248,8 @@ def retrieve_topk_split_sparse(
     K = dense_impact.shape[1]
     qvec, qpres = _densify_queries(fslots, fcnt, K)
     fused_bmax = None
-    if fused_mm and doc_mask is None and not approx and q_int8_ok:
+    if (fused_mm and doc_mask is None and not approx and q_int8_ok
+            and mid_qids is None):
         # One-pass Pallas matmul with the leader-selection block maxima
         # computed in the epilogue — the separate (nq, D) reduce read
         # disappears. Bit-identical scores and maxima.
@@ -1166,6 +1261,15 @@ def retrieve_topk_split_sparse(
         scores = _impact_matmul(qvec, dense_impact, impact_lo, precision,
                                 scale=impact_scale,
                                 q_int8_ok=q_int8_ok)  # (nq, D_pad)
+    if mid_qids is not None:
+        # Over-cap mid terms (capped-postings regime): narrow doc-major
+        # compare sweep added BEFORE leader selection, so the candidate
+        # exactness argument below reads "matmul + mid score" — the
+        # remaining (postings) contributions stay non-negative. tf for
+        # the k winners is recovered after the merge. (The second
+        # _compare_table output is dead here; XLA DCEs it.)
+        m_sc, _ = _compare_table(mid_ids, mid_w, mid_qids, mid_qcnt)
+        scores = scores + m_sc
     if doc_mask is not None:
         # Masked docs drop to -inf BEFORE leader selection and before the
         # sbase gather, so they can neither lead nor win via postings;
@@ -1207,6 +1311,15 @@ def retrieve_topk_split_sparse(
                          precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32)
     top_tfs = tf_freq + out_tail_tf
+    if mid_qids is not None:
+        # Mid-term |q ∩ doc| contribution at the k winners only: gather
+        # the winners' mid rows and count id matches against the query's
+        # mid grid (pads DOC_PAD vs QUERY_PAD never collide). Integer-
+        # valued f32 sums — bit-equal to the dense kernel's tail count.
+        w_mid = mid_ids[jnp.maximum(out_ids, 0)]        # (nq, k, T_M)
+        top_tfs = top_tfs + jnp.sum(
+            (w_mid[:, :, :, None] == mid_qids[:, None, None, :])
+            .astype(jnp.float32), axis=(2, 3))
 
     top_dlr = doc_lengths[jnp.maximum(out_ids, 0)] / avgdl
     probs = T.score_to_probability(

@@ -896,12 +896,22 @@ class BayesianBM25Scorer:
                 fslots, fcnt, trows, tqids, tqcnt = enc
                 tslots = sidx.map_tail_slots(tqids, s)
                 cap = sidx.candidate_cap(s, tslots, k_eff)
+                # Capped-postings regime (huge corpora): over-cap mid
+                # terms ride a narrow doc-major compare sweep instead of
+                # postings rows. None/None when the batch has none.
+                mid_qids = mid_qcnt = None
+                if s.mid_term_ids is not None:
+                    mq, mc = sidx.build_mid_queries(
+                        trows, tqids, tqcnt, s, fslots.shape[0])
+                    if mq is not None:
+                        mid_qids, mid_qcnt = jnp.asarray(mq), jnp.asarray(mc)
                 from bayesian_bm25_tpu.engine import pallas_gather as pg
                 use_pg = pg.eligible(
                     s.dense_impact.shape[0], len(trows),
                     masked=doc_mask is not None)
                 use_fmm = False
-                if sidx.FUSED_MM and doc_mask is None and not approx:
+                if (sidx.FUSED_MM and doc_mask is None and not approx
+                        and mid_qids is None):
                     from bayesian_bm25_tpu.engine import (
                         pallas_matmul as pm)
                     D_pad, K = s.dense_impact.shape
@@ -939,6 +949,11 @@ class BayesianBM25Scorer:
                         impact_scale=s.impact_scale,
                         q_int8_ok=sidx._q_int8_ok(s, fcnt),
                         fused_mm=use_fmm,
+                        mid_ids=(s.mid_term_ids if mid_qids is not None
+                                 else None),
+                        mid_w=(s.mid_weights if mid_qids is not None
+                               else None),
+                        mid_qids=mid_qids, mid_qcnt=mid_qcnt,
                     )
                 )
             else:
