@@ -33,6 +33,13 @@ def main():
     print(f"load {time.time()-t0:.0f}s  storage={storage}  "
           f"K={sp.n_frequent}  T_A={sp.tail_term_ids.shape[1]}",
           flush=True)
+    post = (None if sp.post_doc_ids is None
+            else tuple(sp.post_doc_ids.shape))
+    mid = (None if sp.mid_term_ids is None
+           else tuple(sp.mid_term_ids.shape))
+    print(f"kernel path: postings={post}  mid={mid}  "
+          f"({'sparse-candidate' if post else 'dense compare tail'})",
+          flush=True)
 
     queries = [[f"t{q}" for q in rng.zipf(1.3, size=8) % vocab]
                for _ in range(16384)]

@@ -91,9 +91,35 @@ def main():
     print(f"H2D 5 arrays (async x{reps}, one sync) {(time.perf_counter()-t0)/reps*1e3:7.2f} ms",
           flush=True)
 
-    # kernel proper: device-resident inputs, async reps, one sync
-    enc_dev = [jax.device_put(a, dev) for a in enc]
-    ids, probs = scorer._retrieve_launch(queries, 10, False, None)[1:3]
+    # launch-only loop: host cost per dispatch (encode + puts + trace
+    # lookup), device runs async behind it
+    reps_l = 10
+    scorer._retrieve_launch(queries, 10, False, None)
+    t0 = time.perf_counter()
+    for _ in range(reps_l):
+        out = scorer._retrieve_launch(queries, 10, False, None)
+    host_ms = (time.perf_counter() - t0) / reps_l * 1e3
+    print(f"launch host-side cost    {host_ms:7.2f} ms/batch", flush=True)
+    # + one sync: steady-state pipeline floor (max of host rate and
+    # device rate; excludes the final D2H pull)
+    t0 = time.perf_counter()
+    for _ in range(reps_l):
+        out = scorer._retrieve_launch(queries, 10, False, None)
+    out[1].block_until_ready()
+    pipe_ms = (time.perf_counter() - t0) / reps_l * 1e3
+    print(f"pipelined floor (launch+1 sync) {pipe_ms:7.2f} ms/batch "
+          f"({8192/pipe_ms*1e3:,.0f} q/s)", flush=True)
+
+    # D2H packed result pull
+    pn, top_ids, probs = out[:3]
+    from bayesian_bm25_tpu.engine import scoring
+    pk = scoring.pack_ids_probs(top_ids, probs)
+    pk.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps_l):
+        np.asarray(pk)
+    print(f"D2H packed pull          {(time.perf_counter()-t0)/reps_l*1e3:7.2f} ms",
+          flush=True)
 
     # e2e retrieve_many (5 permuted batches, the bench.py protocol)
     batches = [queries] + [[queries[i] for i in rng.permutation(8192)]
