@@ -500,14 +500,24 @@ def map_tail_slots(tail_qids: np.ndarray, split: SplitBM25Index) -> np.ndarray:
 
 def build_mid_queries(tail_rows, tail_qids, tail_qcnt,
                       split: SplitBM25Index, nq_pad: int):
-    """Mid-tier query grids for the capped-postings path (host-side).
+    """Compact mid-tier query group for the capped-postings path (host).
 
     Picks the over-cap rare terms out of the (nt, Qt) tail group — the
     ones ``map_tail_slots`` sends to the sentinel row — and lays them
-    out per QUERY as (nq_pad, Qm) id/count grids (pads QUERY_PAD / 0)
-    for the kernel's mid compare sweep. Qm is power-of-2 bucketed to
-    bound compile count. Returns (None, None) when the batch has no mid
-    terms — the kernel then skips the sweep entirely.
+    out as a COMPACT (mid_rows (nm,), qids (nm, Qm), qcnt (nm, Qm))
+    group covering only the queries that actually carry mid terms
+    (typically a few % of a batch). The kernel's compare sweep then
+    runs at (nm, D) instead of (nq, D) — at 1M docs the full-width
+    sweep is a 4 GB carry buffer and ~20x wasted work. Both dims are
+    power-of-2 bucketed to bound compile count. Pad rows point at
+    query 0 with QUERY_PAD ids and zero counts: QUERY_PAD matches no
+    table id (table pads are DOC_PAD), so their sweep contribution is
+    exactly zero and the scatter-add into row 0 is a no-op. Returns
+    (None, None, None) when the batch has no mid terms — the kernel
+    skips the sweep entirely.
+
+    ``nq_pad`` is unused (kept for call-site symmetry with the padded
+    encode shapes).
     """
     rs = split.rare_slot_of_term
     R = split.post_doc_ids.shape[0] - 1
@@ -517,18 +527,24 @@ def build_mid_queries(tail_rows, tail_qids, tail_qcnt,
     safe = np.clip(tq, 0, len(rs) - 1)
     is_mid = (tq >= 0) & (rs[safe] >= R)
     if not is_mid.any():
-        return None, None
-    rows, js = np.nonzero(is_mid)          # row-major: j ascending per row
+        return None, None, None
+    has = is_mid.any(axis=1)
+    grid_rows = np.nonzero(has)[0]         # tail-group rows with mid terms
+    nm = _pow2_bucket(len(grid_rows), 8)
     counts = is_mid.sum(axis=1)
     Qm = _pow2_bucket(int(counts.max()), 1)
+    mrows = np.zeros(nm, dtype=np.int32)
+    mrows[: len(grid_rows)] = tr[grid_rows]
+    comp_of = np.full(is_mid.shape[0], -1, dtype=np.int64)
+    comp_of[grid_rows] = np.arange(len(grid_rows))
+    rows, js = np.nonzero(is_mid)          # row-major: j ascending per row
     first = np.concatenate([[0], np.cumsum(counts)[:-1]])
     rank = np.arange(len(rows)) - first[rows]
-    qids = np.full((nq_pad, Qm), eidx.QUERY_PAD, dtype=np.int32)
-    qcnt = np.zeros((nq_pad, Qm), dtype=np.float32)
-    q_of = tr[rows]                        # tail row -> query index
-    qids[q_of, rank] = tq[rows, js]
-    qcnt[q_of, rank] = tc[rows, js]
-    return qids, qcnt
+    qids = np.full((nm, Qm), eidx.QUERY_PAD, dtype=np.int32)
+    qcnt = np.zeros((nm, Qm), dtype=np.float32)
+    qids[comp_of[rows], rank] = tq[rows, js]
+    qcnt[comp_of[rows], rank] = tc[rows, js]
+    return mrows, qids, qcnt
 
 
 def _pow2_bucket(n: int, minimum: int) -> int:
@@ -1216,7 +1232,7 @@ def retrieve_topk_split_sparse(
     doc_mask=None, impact_lo=None, pallas_gather: bool = False,
     tf_from_sign: bool = False, compact=None, compact_rmax: int = 0,
     impact_scale=None, q_int8_ok: bool = True, fused_mm: bool = False,
-    mid_ids=None, mid_w=None, mid_qids=None, mid_qcnt=None,
+    mid_ids=None, mid_w=None, mid_rows=None, mid_qids=None, mid_qcnt=None,
 ):
     """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
 
@@ -1263,13 +1279,16 @@ def retrieve_topk_split_sparse(
                                 q_int8_ok=q_int8_ok)  # (nq, D_pad)
     if mid_qids is not None:
         # Over-cap mid terms (capped-postings regime): narrow doc-major
-        # compare sweep added BEFORE leader selection, so the candidate
-        # exactness argument below reads "matmul + mid score" — the
-        # remaining (postings) contributions stay non-negative. tf for
-        # the k winners is recovered after the merge. (The second
+        # compare sweep over ONLY the (nm,) queries that carry mid
+        # terms, scatter-added into their score rows BEFORE leader
+        # selection — so the candidate exactness argument below reads
+        # "matmul + mid score" and the remaining (postings)
+        # contributions stay non-negative. Pad rows contribute exact
+        # zeros to row 0 (QUERY_PAD matches no table id). tf for the k
+        # winners is recovered after the merge. (The second
         # _compare_table output is dead here; XLA DCEs it.)
         m_sc, _ = _compare_table(mid_ids, mid_w, mid_qids, mid_qcnt)
-        scores = scores + m_sc
+        scores = scores.at[mid_rows].add(m_sc)
     if doc_mask is not None:
         # Masked docs drop to -inf BEFORE leader selection and before the
         # sbase gather, so they can neither lead nor win via postings;
@@ -1312,14 +1331,17 @@ def retrieve_topk_split_sparse(
                          preferred_element_type=jnp.float32)
     top_tfs = tf_freq + out_tail_tf
     if mid_qids is not None:
-        # Mid-term |q ∩ doc| contribution at the k winners only: gather
-        # the winners' mid rows and count id matches against the query's
-        # mid grid (pads DOC_PAD vs QUERY_PAD never collide). Integer-
-        # valued f32 sums — bit-equal to the dense kernel's tail count.
-        w_mid = mid_ids[jnp.maximum(out_ids, 0)]        # (nq, k, T_M)
-        top_tfs = top_tfs + jnp.sum(
+        # Mid-term |q ∩ doc| contribution at the k winners of the (nm,)
+        # mid rows only: gather those winners' mid-table rows and count
+        # id matches against each query's mid grid (pads DOC_PAD vs
+        # QUERY_PAD never collide; pad rows add zero to row 0).
+        # Integer-valued f32 sums — bit-equal to the dense kernel's
+        # tail count.
+        w_mid = mid_ids[jnp.maximum(out_ids[mid_rows], 0)]  # (nm, k, T_M)
+        cnt = jnp.sum(
             (w_mid[:, :, :, None] == mid_qids[:, None, None, :])
             .astype(jnp.float32), axis=(2, 3))
+        top_tfs = top_tfs.at[mid_rows].add(cnt)
 
     top_dlr = doc_lengths[jnp.maximum(out_ids, 0)] / avgdl
     probs = T.score_to_probability(

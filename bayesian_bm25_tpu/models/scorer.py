@@ -899,12 +899,14 @@ class BayesianBM25Scorer:
                 # Capped-postings regime (huge corpora): over-cap mid
                 # terms ride a narrow doc-major compare sweep instead of
                 # postings rows. None/None when the batch has none.
-                mid_qids = mid_qcnt = None
+                mid_rows = mid_qids = mid_qcnt = None
                 if s.mid_term_ids is not None:
-                    mq, mc = sidx.build_mid_queries(
+                    mr, mq, mc = sidx.build_mid_queries(
                         trows, tqids, tqcnt, s, fslots.shape[0])
                     if mq is not None:
-                        mid_qids, mid_qcnt = jnp.asarray(mq), jnp.asarray(mc)
+                        mid_rows, mid_qids, mid_qcnt = (
+                            jnp.asarray(mr), jnp.asarray(mq),
+                            jnp.asarray(mc))
                 from bayesian_bm25_tpu.engine import pallas_gather as pg
                 use_pg = pg.eligible(
                     s.dense_impact.shape[0], len(trows),
@@ -953,7 +955,8 @@ class BayesianBM25Scorer:
                                  else None),
                         mid_w=(s.mid_weights if mid_qids is not None
                                else None),
-                        mid_qids=mid_qids, mid_qcnt=mid_qcnt,
+                        mid_rows=mid_rows, mid_qids=mid_qids,
+                        mid_qcnt=mid_qcnt,
                     )
                 )
             else:

@@ -34,12 +34,12 @@ def stage_ablation(scorer, queries, k=10):
     fslots, fcnt, trows, tqids, tqcnt = enc
     tslots = sidx.map_tail_slots(tqids, s)
     cap = sidx.candidate_cap(s, tslots, k)
-    mid_qids = mid_qcnt = None
+    mid_rows = mid_qids = mid_qcnt = None
     if s.mid_term_ids is not None:
-        mq, mc = sidx.build_mid_queries(trows, tqids, tqcnt, s,
-                                        fslots.shape[0])
+        mr, mq, mc = sidx.build_mid_queries(trows, tqids, tqcnt, s,
+                                            fslots.shape[0])
         if mq is not None:
-            mid_qids, mid_qcnt = jnp.asarray(mq), jnp.asarray(mc)
+            mid_rows, mid_qids, mid_qcnt = map(jnp.asarray, (mr, mq, mc))
     from bayesian_bm25_tpu.engine import pallas_gather as pg
     use_pg = pg.eligible(s.dense_impact.shape[0], len(trows), masked=False)
     comp, r_max = None, 0
@@ -52,7 +52,7 @@ def stage_ablation(scorer, queries, k=10):
             r_max = 0
     print(f"  cap={cap} nt={len(trows)} r_max={r_max} "
           f"pallas_gather={use_pg} "
-          f"mid_Qm={None if mid_qids is None else mid_qids.shape[1]}",
+          f"mid_nm={None if mid_qids is None else tuple(mid_qids.shape)}",
           flush=True)
     fslots, fcnt, trows, tslots, tqcnt = map(
         jnp.asarray, (fslots, fcnt, trows, tslots, tqcnt))
@@ -60,17 +60,18 @@ def stage_ablation(scorer, queries, k=10):
     def prefix(stage):
         @jax.jit
         def f(impact, impact_lo, presence, post_ids, post_w, dl,
-              fslots, fcnt, trows, tslots, tqcnt, mq, mc, mid_ids, mid_w):
+              fslots, fcnt, trows, tslots, tqcnt, mrows, mq, mc,
+              mid_ids, mid_w):
             qvec, qpres = sidx._densify_queries(fslots, fcnt, K)
             scores = sidx._impact_matmul(qvec, impact, impact_lo, prec,
                                          scale=s.impact_scale)
             if stage == "matmul":
-                return scores
+                return scores.max(axis=1)
             if mq is not None:
                 m_sc, _ = sidx._compare_table(mid_ids, mid_w, mq, mc)
-                scores = scores + m_sc
+                scores = scores.at[mrows].add(m_sc)
             if stage == "mid":
-                return scores
+                return scores.max(axis=1)
             topm_s, topm_i = sidx.exact_topk_blockwise(
                 scores, k, block=256, valid_upto=n_docs)
             if stage == "select":
@@ -93,10 +94,11 @@ def stage_ablation(scorer, queries, k=10):
                                  preferred_element_type=jnp.float32)
             top_tfs = tf_freq + out_tail_tf
             if mq is not None:
-                w_mid = mid_ids[jnp.maximum(out_ids, 0)]
-                top_tfs = top_tfs + jnp.sum(
+                w_mid = mid_ids[jnp.maximum(out_ids[mrows], 0)]
+                cnt = jnp.sum(
                     (w_mid[:, :, :, None] == mq[:, None, None, :])
                     .astype(jnp.float32), axis=(2, 3))
+                top_tfs = top_tfs.at[mrows].add(cnt)
             top_dlr = dl[jnp.maximum(out_ids, 0)] / idx.avgdl
             probs = T.score_to_probability(
                 out_scores, top_tfs, top_dlr, t.alpha, t.beta, t.base_rate)
@@ -106,14 +108,15 @@ def stage_ablation(scorer, queries, k=10):
 
     args = (s.dense_impact, s.dense_impact_lo, s.dense_presence,
             s.post_doc_ids, s.post_weights, idx.doc_lengths,
-            fslots, fcnt, trows, tslots, tqcnt, mid_qids, mid_qcnt,
-            s.mid_term_ids, s.mid_weights)
+            fslots, fcnt, trows, tslots, tqcnt, mid_rows, mid_qids,
+            mid_qcnt, s.mid_term_ids, s.mid_weights)
     prev = 0.0
     stages = ("matmul", "mid", "select", "merge", "full")
     if mid_qids is None:
         stages = ("matmul", "select", "merge", "full")
     for stage in stages:
-        ms, _ = timed(prefix(stage), *args)
+        ms, out = timed(prefix(stage), *args)
+        del out  # drop giant intermediates before the next prefix runs
         print(f"  {stage:8s} cumulative {ms:7.2f} ms   "
               f"stage {ms-prev:7.2f} ms", flush=True)
         prev = ms
@@ -143,13 +146,16 @@ def main():
 
     # how often does a 1024q chunk carry mid terms?
     s = scorer._split
-    n_mid = 0
+    n_mid, widths = 0, []
     for i in range(16):
         part = queries16k[i * 1024:(i + 1) * 1024]
         enc = sidx.encode_queries_split(part, s)
-        mq, _ = sidx.build_mid_queries(enc[2], enc[3], enc[4], s, 1024)
+        mr, mq, _ = sidx.build_mid_queries(enc[2], enc[3], enc[4], s, 1024)
         n_mid += mq is not None
-    print(f"chunks with mid terms: {n_mid}/16", flush=True)
+        if mq is not None:
+            widths.append(f"{mq.shape[0]}x{mq.shape[1]}")
+    print(f"chunks with mid terms: {n_mid}/16  nm x Qm: {widths}",
+          flush=True)
 
     print("int8 (shipped auto tier) stage ablation, 1024q:", flush=True)
     stage_ablation(scorer, chunk)

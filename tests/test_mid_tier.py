@@ -102,15 +102,20 @@ class TestMidTier:
         s = capped._split
         enc = sidx.encode_queries_split(_queries(), s)
         _, _, trows, tqids, tqcnt = enc
-        qids, qcnt = sidx.build_mid_queries(
+        mrows, qids, qcnt = sidx.build_mid_queries(
             trows, tqids, tqcnt, s, len(_queries()))
         if qids is None:
             pytest.skip("no mid terms drawn in this batch")
         assert qids.shape == qcnt.shape
-        # Qm is power-of-2 bucketed
-        assert qids.shape[1] & (qids.shape[1] - 1) == 0
-        # pads are QUERY_PAD with zero counts
+        # compact: one row per query with mid terms; both dims bucketed
+        assert mrows.shape == (qids.shape[0],)
+        for d in qids.shape:
+            assert d & (d - 1) == 0
+        # pads are QUERY_PAD with zero counts (zero sweep contribution)
         assert (qcnt[qids < 0] == 0).all()
+        # pad rows point at query 0
+        n_real = int((qids >= 0).any(axis=1).sum())
+        assert (np.asarray(mrows)[n_real:] == 0).all()
 
     def test_batch_without_mid_terms(self, monkeypatch):
         """A batch whose rare terms are all in-cap skips the sweep."""
