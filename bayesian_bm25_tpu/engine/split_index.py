@@ -93,14 +93,18 @@ class SplitBM25Index:
     # df > N/2). Lets the sparse merge derive tf counts from the sign of
     # the sorted contributions instead of co-sorting a third operand.
     post_w_positive: bool = False
-    # device: narrow doc-major table for MID terms — rare terms whose df
-    # exceeds the postings width cap (huge corpora only; None when every
-    # rare term fits the postings budget). Mid contributions are added
-    # to the dense scores by a compare sweep over this table BEFORE
-    # leader selection, so the sparse-candidate exactness argument holds
-    # with "matmul score" read as "matmul + mid score".
-    mid_term_ids: jnp.ndarray | None = field(repr=False, default=None)
-    mid_weights: jnp.ndarray | None = field(repr=False, default=None)
+    # Tier-2 postings: when the tier-1 rectangle is width-capped by the
+    # entries budget (huge corpora), the few rare terms whose df exceeds
+    # the cap move to a SECOND term-major rectangle (R2+1 rows, width
+    # P2 = max over-cap df) — narrow-but-tall instead of wide-but-short,
+    # so its footprint stays tiny (1M-doc reference regime: ~1.8k terms
+    # x 3.8k width = 54 MB). Queries carrying tier-2 terms are merged in
+    # a second _sparse_merge pass over only those rows. None when every
+    # rare term fits the tier-1 budget.
+    rare2_slot_of_term: np.ndarray | None = field(repr=False, default=None)
+    post2_doc_ids: jnp.ndarray | None = field(repr=False, default=None)
+    post2_weights: jnp.ndarray | None = field(repr=False, default=None)
+    rare2_df: np.ndarray | None = field(repr=False, default=None)
     # device: (2, D_pad) per-doc dequantization scales under "int8"
     # storage (impact ~= scale[0]*hi + scale[1]*lo, elementwise per doc
     # row); None otherwise. The scales multiply the SCORE columns
@@ -302,27 +306,12 @@ def build_split_index(
         over_ids[row_map, o_cols] = flat_tids[~in_primary]
         over_w[row_map, o_cols] = flat_w[~in_primary]
 
-    rare_slot, post_ids, post_w, rare_df, mid_mask = _build_rare_postings(
+    (rare_slot, post_ids, post_w, rare_df,
+     tier2) = _build_rare_postings(
         freq_slot, K, V, D_pad, row_idx, flat_tids, flat_w
     )
-
-    # Over-cap mid terms: narrow doc-major (D_pad, T_M) table. Entries
-    # arrive row-major (docs ascending, query-slot order within a doc),
-    # so per-doc ranks preserve the compare kernel's summation order.
-    mid_ids = mid_w = None
-    if mid_mask is not None and mid_mask.any():
-        m_rows = row_idx[mid_mask]
-        m_tids = flat_tids[mid_mask]
-        m_w = flat_w[mid_mask]
-        mcnt = np.bincount(m_rows, minlength=D_pad)
-        T_M = _round_up(max(int(mcnt.max()), 1), tail_pad_multiple)
-        first = np.zeros(D_pad + 1, dtype=np.int64)
-        np.cumsum(mcnt, out=first[1:])
-        col_m = np.arange(len(m_rows)) - first[m_rows]
-        mid_ids = np.full((D_pad, T_M), eidx.DOC_PAD, dtype=np.int32)
-        mid_w = np.zeros((D_pad, T_M), dtype=np.float32)
-        mid_ids[m_rows, col_m] = m_tids
-        mid_w[m_rows, col_m] = m_w
+    rare2_slot, post2_ids, post2_w, rare2_df = (
+        tier2 if tier2 is not None else (None, None, None, None))
 
     impact_scale = None
     if storage == "int8":
@@ -355,8 +344,10 @@ def build_split_index(
         rare_df=rare_df,
         post_w_positive=bool((flat_w > 0).all()) if len(flat_w) else True,
         impact_scale=impact_scale,
-        mid_term_ids=None if mid_ids is None else jnp.asarray(mid_ids),
-        mid_weights=None if mid_w is None else jnp.asarray(mid_w),
+        rare2_slot_of_term=rare2_slot,
+        post2_doc_ids=None if post2_ids is None else jnp.asarray(post2_ids),
+        post2_weights=None if post2_w is None else jnp.asarray(post2_w),
+        rare2_df=rare2_df,
     )
 
 
@@ -377,14 +368,17 @@ def _build_rare_postings(freq_slot, K, V, D_pad, row_idx, flat_tids, flat_w):
 
     When the full-width rectangle blows the entries budget (1M-doc
     corpora: a 3.7k max rare df -> 446M entries), P is capped at the
-    widest multiple of 8 the budget allows and the few over-cap "mid"
-    terms (1.5% of the rare vocabulary in the 1M reference regime) are
-    remapped to the sentinel slot R — the caller routes them to a
-    narrow doc-major mid table instead (compare sweep, pre-selection).
+    widest multiple of 8 the budget allows and the few over-cap terms
+    (1.5% of the rare vocabulary in the 1M reference regime) move to a
+    TIER-2 rectangle — narrow-but-tall (R2+1 rows at width P2 = their
+    max df), so its footprint is tiny while staying term-major. The
+    kernel folds tier-2 postings in a second merge pass over only the
+    query rows that carry such terms.
 
-    Returns (rare_slot, post_ids, post_w, rare_df, mid_entry_mask):
-    ``mid_entry_mask`` selects the (doc, term) entries of the caller's
-    flat arrays that belong to mid terms (None when no cap engaged).
+    Returns (rare_slot, post_ids, post_w, rare_df, tier2): ``tier2`` is
+    None when no cap engaged, else (rare2_slot (V,), post2_ids
+    (R2+1, P2), post2_w, rare2_df (R2+1,)); over-cap terms map to the
+    tier-1 sentinel R AND to their tier-2 slot.
     """
     rare_terms = np.where(freq_slot[:V] >= K)[0] if V else np.empty(0, int)
     R = len(rare_terms)
@@ -397,10 +391,26 @@ def _build_rare_postings(freq_slot, K, V, D_pad, row_idx, flat_tids, flat_w):
         return (rare_slot, post_ids, post_w,
                 np.zeros(R + 1, dtype=np.int64), None)
 
+    def rect(slots, rows, w, n_rows, width):
+        """Left-compacted (n_rows+1, width) term-major rectangle."""
+        c = (np.bincount(slots, minlength=n_rows) if len(slots)
+             else np.zeros(n_rows, dtype=np.int64))
+        df = np.append(c, 0).astype(np.int64)  # sentinel row: df 0
+        order = np.lexsort((rows, slots))
+        st = slots[order]
+        starts = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(c, out=starts[1:])
+        col = np.arange(len(st)) - starts[st]
+        ids = np.full((n_rows + 1, width), D_pad, dtype=np.int32)
+        ws = np.zeros((n_rows + 1, width), dtype=np.float32)
+        ids[st, col] = rows[order]
+        ws[st, col] = w[order]
+        return ids, ws, df
+
     tslot = rare_slot[flat_tids]
     cnt = np.bincount(tslot, minlength=R)
     P = _round_up(max(int(cnt.max()), 1), 8)
-    mid_mask = None
+    tier2 = None
     keep_slot, keep_rows, keep_w = tslot, row_idx, flat_w
     if (R + 1) * P > _POSTINGS_MAX_ENTRIES:
         width_cap = (_POSTINGS_MAX_ENTRIES // (R + 1)) // 8 * 8
@@ -408,27 +418,29 @@ def _build_rare_postings(freq_slot, K, V, D_pad, row_idx, flat_tids, flat_w):
             # Budget can't hold a useful rectangle (pathological: huge
             # rare vocab AND huge dfs) — doc-major compare tail instead.
             return rare_slot, None, None, None, None
-        mid_slots = np.where(cnt > width_cap)[0]
-        rare_slot[rare_terms[mid_slots]] = R
+        t2_terms = rare_terms[np.where(cnt > width_cap)[0]]
+        R2 = len(t2_terms)
+        rare2_slot = np.full(max(V, 1), R2, dtype=np.int32)
+        rare2_slot[t2_terms] = np.arange(R2, dtype=np.int32)
+        rare_slot[t2_terms] = R           # tier-1 sentinel
         tslot = rare_slot[flat_tids]
-        mid_mask = tslot == R
-        keep = ~mid_mask
-        keep_slot, keep_rows, keep_w = tslot[keep], row_idx[keep], flat_w[keep]
+        is2 = tslot == R
+        t2slot = rare2_slot[flat_tids[is2]]
+        P2 = _round_up(max(int(np.bincount(
+            t2slot, minlength=max(R2, 1)).max()), 1), 8)
+        if (R2 + 1) * P2 > _POSTINGS_MAX_ENTRIES:
+            return rare_slot, None, None, None, None
+        post2 = rect(t2slot, row_idx[is2], flat_w[is2], R2, P2)
+        tier2 = (rare2_slot, *post2)
+        keep = ~is2
+        keep_slot, keep_rows, keep_w = (
+            tslot[keep], row_idx[keep], flat_w[keep])
         cnt = np.bincount(keep_slot, minlength=R) if keep.any() else (
             np.zeros(R, dtype=np.int64))
         P = _round_up(max(int(cnt.max()), 1), 8)
 
-    rare_df = np.append(cnt, 0).astype(np.int64)  # sentinel row: df 0
-    order = np.lexsort((keep_rows, keep_slot))
-    st = keep_slot[order]
-    starts = np.zeros(R + 1, dtype=np.int64)
-    np.cumsum(cnt, out=starts[1:])
-    col = np.arange(len(st)) - starts[st]
-    post_ids = np.full((R + 1, P), D_pad, dtype=np.int32)
-    post_w = np.zeros((R + 1, P), dtype=np.float32)
-    post_ids[st, col] = keep_rows[order]
-    post_w[st, col] = keep_w[order]
-    return rare_slot, post_ids, post_w, rare_df, mid_mask
+    post_ids, post_w, rare_df = rect(keep_slot, keep_rows, keep_w, R, P)
+    return rare_slot, post_ids, post_w, rare_df, tier2
 
 
 def build_sharded_postings(split: SplitBM25Index, n_shards: int):
@@ -498,53 +510,79 @@ def map_tail_slots(tail_qids: np.ndarray, split: SplitBM25Index) -> np.ndarray:
     return np.where(tq >= 0, np.minimum(rare_slot[safe], R), R).astype(np.int32)
 
 
-def build_mid_queries(tail_rows, tail_qids, tail_qcnt,
-                      split: SplitBM25Index, nq_pad: int):
-    """Compact mid-tier query group for the capped-postings path (host).
+def split_tail_groups(tail_rows, tail_qids, tail_qcnt,
+                      split: SplitBM25Index):
+    """Partition the (nt, Qt) tail group by postings tier (host-side).
 
-    Picks the over-cap rare terms out of the (nt, Qt) tail group — the
-    ones ``map_tail_slots`` sends to the sentinel row — and lays them
-    out as a COMPACT (mid_rows (nm,), qids (nm, Qm), qcnt (nm, Qm))
-    group covering only the queries that actually carry mid terms
-    (typically a few % of a batch). The kernel's compare sweep then
-    runs at (nm, D) instead of (nq, D) — at 1M docs the full-width
-    sweep is a 4 GB carry buffer and ~20x wasted work. Both dims are
-    power-of-2 bucketed to bound compile count. Pad rows point at
-    query 0 with QUERY_PAD ids and zero counts: QUERY_PAD matches no
-    table id (table pads are DOC_PAD), so their sweep contribution is
-    exactly zero and the scatter-add into row 0 is a no-op. Returns
-    (None, None, None) when the batch has no mid terms — the kernel
-    skips the sweep entirely.
+    Rows whose rare terms all live in the tier-1 rectangle form group A
+    (the common case — merged exactly as before); rows carrying at
+    least one tier-2 (over-cap df) term form group B, which additionally
+    gets a (ntB, Q2) tier-2 slot/count grid for the kernel's second
+    merge pass. All dims are power-of-2 bucketed to bound compile
+    count. Pad rows carry all-sentinel slots in every grid (tier-1
+    sentinel R / tier-2 sentinel R2) with zero counts, so pass A keeps
+    its all-R pad-row detection and pass B detects pads by all-R2.
 
-    ``nq_pad`` is unused (kept for call-site symmetry with the padded
-    encode shapes).
+    Returns (A, B): A = (rows, slots1, qcnt); B = None when the batch
+    has no tier-2 terms, else (rows, slots1, qcnt, slots2, qcnt2).
     """
-    rs = split.rare_slot_of_term
-    R = split.post_doc_ids.shape[0] - 1
     tq = np.asarray(tail_qids)
     tc = np.asarray(tail_qcnt)
     tr = np.asarray(tail_rows)
-    safe = np.clip(tq, 0, len(rs) - 1)
-    is_mid = (tq >= 0) & (rs[safe] >= R)
-    if not is_mid.any():
-        return None, None, None
-    has = is_mid.any(axis=1)
-    grid_rows = np.nonzero(has)[0]         # tail-group rows with mid terms
-    nm = _pow2_bucket(len(grid_rows), 8)
-    counts = is_mid.sum(axis=1)
-    Qm = _pow2_bucket(int(counts.max()), 1)
-    mrows = np.zeros(nm, dtype=np.int32)
-    mrows[: len(grid_rows)] = tr[grid_rows]
-    comp_of = np.full(is_mid.shape[0], -1, dtype=np.int64)
-    comp_of[grid_rows] = np.arange(len(grid_rows))
-    rows, js = np.nonzero(is_mid)          # row-major: j ascending per row
-    first = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    rank = np.arange(len(rows)) - first[rows]
-    qids = np.full((nm, Qm), eidx.QUERY_PAD, dtype=np.int32)
-    qcnt = np.zeros((nm, Qm), dtype=np.float32)
-    qids[comp_of[rows], rank] = tq[rows, js]
-    qcnt[comp_of[rows], rank] = tc[rows, js]
-    return mrows, qids, qcnt
+    s1 = map_tail_slots(tail_qids, split)
+    if split.post2_doc_ids is None:
+        return (tr, s1, tc), None
+    rs2 = split.rare2_slot_of_term
+    R = split.post_doc_ids.shape[0] - 1
+    R2 = split.post2_doc_ids.shape[0] - 1
+    safe = np.clip(tq, 0, len(rs2) - 1)
+    s2 = np.where(tq >= 0, np.minimum(rs2[safe], R2), R2).astype(np.int32)
+    has2 = (s2 < R2).any(axis=1)
+    if not has2.any():
+        return (tr, s1, tc), None
+    ai = np.nonzero(~has2)[0]
+    bi = np.nonzero(has2)[0]
+    Qt = s1.shape[1]
+
+    def take(idx, n_pad, grid, fill):
+        out = np.full((n_pad, grid.shape[1]), fill, grid.dtype)
+        out[: len(idx)] = grid[idx]
+        return out
+
+    ntA = _pow2_bucket(max(len(ai), 1), 16)
+    rowsA = np.zeros(ntA, dtype=np.int32)
+    rowsA[: len(ai)] = tr[ai]
+    A = (rowsA, take(ai, ntA, s1, R),
+         take(ai, ntA, tc, 0.0))
+    ntB = _pow2_bucket(len(bi), 8)
+    rowsB = np.zeros(ntB, dtype=np.int32)
+    rowsB[: len(bi)] = tr[bi]
+    # Compact group B's tier-2 grid to its real width (most rows carry
+    # 1-2 tier-2 terms even when Qt is larger).
+    isb2 = s2[bi] < R2
+    Q2 = _pow2_bucket(int(isb2.sum(axis=1).max()), 1)
+    s2B = np.full((ntB, Q2), R2, dtype=np.int32)
+    c2B = np.zeros((ntB, Q2), dtype=np.float32)
+    rr, jj = np.nonzero(isb2)              # row-major: j ascending per row
+    first = np.zeros(len(bi) + 1, dtype=np.int64)
+    np.cumsum(isb2.sum(axis=1), out=first[1:])
+    rank = np.arange(len(rr)) - first[rr]
+    s2B[rr, rank] = s2[bi][rr, jj]
+    c2B[rr, rank] = tc[bi][rr, jj]
+    B = (rowsB, take(bi, ntB, s1, R), take(bi, ntB, tc, 0.0), s2B, c2B)
+    return A, B
+
+
+def candidate_cap2(split: SplitBM25Index, tail_slots1: np.ndarray,
+                   tail_slots2: np.ndarray, k: int) -> int:
+    """Candidate-set width for the tier-2 merge pass: k leaders + the
+    batch's max per-row postings total across BOTH tiers."""
+    d1 = split.rare_df[np.asarray(tail_slots1)].sum(axis=1)
+    d2 = split.rare2_df[np.asarray(tail_slots2)].sum(axis=1)
+    cap = k + _pow2_bucket(max(int((d1 + d2).max()), 1), 16)
+    Qt, P = tail_slots1.shape[1], split.post_doc_ids.shape[1]
+    Q2, P2 = tail_slots2.shape[1], split.post2_doc_ids.shape[1]
+    return min(cap, k + Qt * P + Q2 * P2)
 
 
 def _pow2_bucket(n: int, minimum: int) -> int:
@@ -1074,7 +1112,9 @@ def candidate_cap(split: SplitBM25Index, tail_slots: np.ndarray, k: int) -> int:
 def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
                   tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
                   n_docs: int, pallas_gather: bool = False,
-                  tf_from_sign: bool = False, compact=None):
+                  tf_from_sign: bool = False, compact=None,
+                  postings2=None, pad_row_mask=None,
+                  base_tail_tf=None):
     """Rare-postings candidate merge shared by the single-chip and
     per-shard sparse kernels: fold each tail query's rare-term postings
     into the k matmul leaders and return the merged
@@ -1089,7 +1129,16 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
     weight-0 content and real terms keep their query-slot order, so the
     stable id-sort sees per-doc payload sequences identical to the
     dense build — while the gather, sort, segment sums, and candidate
-    top-k all run at the (usually much narrower) packed width."""
+    top-k all run at the (usually much narrower) packed width.
+
+    ``postings2`` = (post2_ids, post2_w, tail_slots2, tail_qcnt2)
+    appends a SECOND term-major rectangle's gathered rows to every tail
+    row's candidate set (the tier-2 pass for width-capped indexes);
+    the id-sort groups duplicates across tiers, so per-doc sums stay
+    exact. ``pad_row_mask`` overrides the all-sentinel pad-row
+    inference (needed for the tier-2 group, whose real rows may carry
+    all-sentinel TIER-1 slots). ``base_tail_tf`` carries a previous
+    pass's (nq, k) tail-tf so sequential merge passes compose."""
     nq = topm_ids.shape[0]
     nt, Qt = tail_slots.shape
     D_pad = scores.shape[1]
@@ -1120,13 +1169,24 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
     pvalid = pid < n_docs  # sentinel rows/slots carry id D_pad, weight 0
     width = pid.shape[1]   # Qt (dense) or r_max (packed)
 
+    pid2 = None
+    if postings2 is not None:
+        post2_ids, post2_w, tail_slots2, tail_qcnt2 = postings2
+        pid2 = post2_ids[tail_slots2]                     # (nt, Q2, P2)
+        v2 = tail_qcnt2[:, :, None] * post2_w[tail_slots2]
+        width = width + pid2.shape[1]
+
     # Candidate set per tail row: k matmul leaders ++ all postings docs.
-    C = k + width * pid.shape[2]
+    C = k + width * pid.shape[2] if pid2 is None else (
+        k + pid.shape[1] * pid.shape[2] + pid2.shape[1] * pid2.shape[2])
     cand_cap = min(max(cand_cap, k), C)
-    cand_ids = jnp.concatenate(
-        [topm_ids[tail_rows], pid.reshape(nt, -1)], axis=1)
-    cand_v = jnp.concatenate(
-        [jnp.zeros((nt, k), jnp.float32), v.reshape(nt, -1)], axis=1)
+    parts_i = [topm_ids[tail_rows], pid.reshape(nt, -1)]
+    parts_v = [jnp.zeros((nt, k), jnp.float32), v.reshape(nt, -1)]
+    if pid2 is not None:
+        parts_i.append(pid2.reshape(nt, -1))
+        parts_v.append(v2.reshape(nt, -1))
+    cand_ids = jnp.concatenate(parts_i, axis=1)
+    cand_v = jnp.concatenate(parts_v, axis=1)
 
     # Stable id-sort groups duplicate docs (leaders already < n_docs and
     # invalid postings slots carry the D_pad sentinel, so the id itself is
@@ -1145,9 +1205,12 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
         sv = sv[:, :cand_cap]
         stf = (sv > 0).astype(jnp.float32)
     else:
-        cand_tf = jnp.concatenate(
-            [jnp.zeros((nt, k), jnp.float32),
-             pvalid.astype(jnp.float32).reshape(nt, -1)], axis=1)
+        parts_tf = [jnp.zeros((nt, k), jnp.float32),
+                    pvalid.astype(jnp.float32).reshape(nt, -1)]
+        if pid2 is not None:
+            parts_tf.append(
+                (pid2 < n_docs).astype(jnp.float32).reshape(nt, -1))
+        cand_tf = jnp.concatenate(parts_tf, axis=1)
         sid, sv, stf = jax.lax.sort(
             (cand_ids, cand_v, cand_tf), dimension=1, is_stable=True,
             num_keys=1)
@@ -1199,31 +1262,29 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
     m_ids = jnp.take_along_axis(sid, m_pos, axis=1)
     m_tf_tail = jnp.take_along_axis(tf_tot, m_pos, axis=1)
 
-    # Scatter merged rows back; pad tail rows (slot row R everywhere)
-    # target a trash row so they cannot clobber query 0. A row is pad
-    # only when ALL slots are the sentinel: under the capped-postings
-    # mid tier a REAL row can lead with a mid term (slot R), and an
-    # all-mid row is safe to route to trash too — its postings are all
-    # empty, so its merge output equals the leaders it would overwrite
-    # (mid contributions already live in `scores`).
-    is_pad_row = jnp.all(tail_slots >= R, axis=1)
-    trow_safe = jnp.where(is_pad_row, nq, tail_rows)
+    # Scatter merged rows back; pad tail rows (all slots sentinel)
+    # target a trash row so they cannot clobber query 0.
+    if pad_row_mask is None:
+        pad_row_mask = jnp.all(tail_slots >= R, axis=1)
+    trow_safe = jnp.where(pad_row_mask, nq, tail_rows)
     zrow_i = jnp.zeros((1, k), topm_ids.dtype)
     zrow_f = jnp.zeros((1, k), jnp.float32)
     out_ids = jnp.concatenate([topm_ids, zrow_i]).at[trow_safe].set(
         m_ids.astype(topm_ids.dtype))[:nq]
     out_scores = jnp.concatenate([topm_scores, zrow_f]).at[trow_safe].set(
         m_scores)[:nq]
+    if base_tail_tf is None:
+        base_tail_tf = jnp.zeros((nq, k), jnp.float32)
     out_tail_tf = jnp.concatenate(
-        [jnp.zeros((nq, k), jnp.float32), zrow_f]).at[trow_safe].set(
-        m_tf_tail)[:nq]
+        [base_tail_tf, zrow_f]).at[trow_safe].set(m_tf_tail)[:nq]
     return out_ids, out_scores, out_tail_tf
 
 
 @partial(jax.jit,
          static_argnames=("k", "cand_cap", "n_docs", "prior_free", "approx",
                           "precision", "pallas_gather", "tf_from_sign",
-                          "compact_rmax", "q_int8_ok", "fused_mm"))
+                          "compact_rmax", "q_int8_ok", "fused_mm",
+                          "cand_cap2"))
 def retrieve_topk_split_sparse(
     dense_impact, dense_presence, post_ids, post_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
@@ -1232,7 +1293,9 @@ def retrieve_topk_split_sparse(
     doc_mask=None, impact_lo=None, pallas_gather: bool = False,
     tf_from_sign: bool = False, compact=None, compact_rmax: int = 0,
     impact_scale=None, q_int8_ok: bool = True, fused_mm: bool = False,
-    mid_ids=None, mid_w=None, mid_rows=None, mid_qids=None, mid_qcnt=None,
+    post2_ids=None, post2_w=None, tailB_rows=None, tailB_slots=None,
+    tailB_qcnt=None, tailB_slots2=None, tailB_qcnt2=None,
+    cand_cap2: int = 0,
 ):
     """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
 
@@ -1264,8 +1327,7 @@ def retrieve_topk_split_sparse(
     K = dense_impact.shape[1]
     qvec, qpres = _densify_queries(fslots, fcnt, K)
     fused_bmax = None
-    if (fused_mm and doc_mask is None and not approx and q_int8_ok
-            and mid_qids is None):
+    if fused_mm and doc_mask is None and not approx and q_int8_ok:
         # One-pass Pallas matmul with the leader-selection block maxima
         # computed in the epilogue — the separate (nq, D) reduce read
         # disappears. Bit-identical scores and maxima.
@@ -1277,18 +1339,6 @@ def retrieve_topk_split_sparse(
         scores = _impact_matmul(qvec, dense_impact, impact_lo, precision,
                                 scale=impact_scale,
                                 q_int8_ok=q_int8_ok)  # (nq, D_pad)
-    if mid_qids is not None:
-        # Over-cap mid terms (capped-postings regime): narrow doc-major
-        # compare sweep over ONLY the (nm,) queries that carry mid
-        # terms, scatter-added into their score rows BEFORE leader
-        # selection — so the candidate exactness argument below reads
-        # "matmul + mid score" and the remaining (postings)
-        # contributions stay non-negative. Pad rows contribute exact
-        # zeros to row 0 (QUERY_PAD matches no table id). tf for the k
-        # winners is recovered after the merge. (The second
-        # _compare_table output is dead here; XLA DCEs it.)
-        m_sc, _ = _compare_table(mid_ids, mid_w, mid_qids, mid_qcnt)
-        scores = scores.at[mid_rows].add(m_sc)
     if doc_mask is not None:
         # Masked docs drop to -inf BEFORE leader selection and before the
         # sbase gather, so they can neither lead nor win via postings;
@@ -1317,6 +1367,22 @@ def retrieve_topk_split_sparse(
         tf_from_sign=tf_from_sign,
         compact=None if compact is None else (compact, compact_rmax))
 
+    if tailB_rows is not None:
+        # Tier-2 pass (width-capped indexes): the few query rows that
+        # carry over-cap rare terms merge k leaders ++ their TIER-1
+        # postings ++ their TIER-2 postings in one candidate set, so a
+        # doc scored by terms from both tiers sums exactly. Disjoint
+        # from pass-A rows; pads (all tier-2 slots sentinel) route to
+        # the trash row.
+        R2 = post2_ids.shape[0] - 1
+        out_ids, out_scores, out_tail_tf = _sparse_merge(
+            scores, out_scores, out_ids, post_ids, post_w,
+            tailB_rows, tailB_slots, tailB_qcnt, k, cand_cap2, n_docs,
+            pallas_gather=False, tf_from_sign=tf_from_sign,
+            postings2=(post2_ids, post2_w, tailB_slots2, tailB_qcnt2),
+            pad_row_mask=jnp.all(tailB_slots2 >= R2, axis=1),
+            base_tail_tf=out_tail_tf)
+
     dead = ~jnp.isfinite(out_scores)
     out_scores = jnp.where(dead, 0.0, out_scores)
     out_ids = jnp.where(dead, -1, out_ids)
@@ -1330,18 +1396,6 @@ def retrieve_topk_split_sparse(
                          precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32)
     top_tfs = tf_freq + out_tail_tf
-    if mid_qids is not None:
-        # Mid-term |q ∩ doc| contribution at the k winners of the (nm,)
-        # mid rows only: gather those winners' mid-table rows and count
-        # id matches against each query's mid grid (pads DOC_PAD vs
-        # QUERY_PAD never collide; pad rows add zero to row 0).
-        # Integer-valued f32 sums — bit-equal to the dense kernel's
-        # tail count.
-        w_mid = mid_ids[jnp.maximum(out_ids[mid_rows], 0)]  # (nm, k, T_M)
-        cnt = jnp.sum(
-            (w_mid[:, :, :, None] == mid_qids[:, None, None, :])
-            .astype(jnp.float32), axis=(2, 3))
-        top_tfs = top_tfs.at[mid_rows].add(cnt)
 
     top_dlr = doc_lengths[jnp.maximum(out_ids, 0)] / avgdl
     probs = T.score_to_probability(

@@ -894,26 +894,32 @@ class BayesianBM25Scorer:
                 # Sparse-candidate exact path: matmul + rare-postings
                 # merge (no dense tail compare, no presence matmul).
                 fslots, fcnt, trows, tqids, tqcnt = enc
-                tslots = sidx.map_tail_slots(tqids, s)
+                # Width-capped indexes (huge corpora) split the tail
+                # group by tier: group B rows carry >=1 tier-2 term and
+                # get a second merge pass; group A is the common case.
+                (trows, tslots, tqcnt), grpB = sidx.split_tail_groups(
+                    trows, tqids, tqcnt, s)
                 cap = sidx.candidate_cap(s, tslots, k_eff)
-                # Capped-postings regime (huge corpora): over-cap mid
-                # terms ride a narrow doc-major compare sweep instead of
-                # postings rows. None/None when the batch has none.
-                mid_rows = mid_qids = mid_qcnt = None
-                if s.mid_term_ids is not None:
-                    mr, mq, mc = sidx.build_mid_queries(
-                        trows, tqids, tqcnt, s, fslots.shape[0])
-                    if mq is not None:
-                        mid_rows, mid_qids, mid_qcnt = (
-                            jnp.asarray(mr), jnp.asarray(mq),
-                            jnp.asarray(mc))
+                b_kw = {}
+                if grpB is not None:
+                    trB, s1B, qcB, s2B, qc2B = grpB
+                    b_kw = dict(
+                        post2_ids=s.post2_doc_ids,
+                        post2_w=s.post2_weights,
+                        tailB_rows=jnp.asarray(trB),
+                        tailB_slots=jnp.asarray(s1B),
+                        tailB_qcnt=jnp.asarray(qcB),
+                        tailB_slots2=jnp.asarray(s2B),
+                        tailB_qcnt2=jnp.asarray(qc2B),
+                        cand_cap2=sidx.candidate_cap2(
+                            s, s1B, s2B, k_eff),
+                    )
                 from bayesian_bm25_tpu.engine import pallas_gather as pg
                 use_pg = pg.eligible(
                     s.dense_impact.shape[0], len(trows),
                     masked=doc_mask is not None)
                 use_fmm = False
-                if (sidx.FUSED_MM and doc_mask is None and not approx
-                        and mid_qids is None):
+                if sidx.FUSED_MM and doc_mask is None and not approx:
                     from bayesian_bm25_tpu.engine import (
                         pallas_matmul as pm)
                     D_pad, K = s.dense_impact.shape
@@ -951,12 +957,7 @@ class BayesianBM25Scorer:
                         impact_scale=s.impact_scale,
                         q_int8_ok=sidx._q_int8_ok(s, fcnt),
                         fused_mm=use_fmm,
-                        mid_ids=(s.mid_term_ids if mid_qids is not None
-                                 else None),
-                        mid_w=(s.mid_weights if mid_qids is not None
-                               else None),
-                        mid_rows=mid_rows, mid_qids=mid_qids,
-                        mid_qcnt=mid_qcnt,
+                        **b_kw,
                     )
                 )
             else:

@@ -118,11 +118,12 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
             # Doc-shard the rare postings for the distributed
             # sparse-candidate retrieve (the fastest kernel); falls back
             # to the tail-compare kernel when postings are over budget
-            # OR width-capped (mid tier active — the sharded kernel has
-            # no mid sweep, and the doc-major tail covers every rare
-            # term exactly; capped corpora are 1M-doc scale, where the
-            # single-chip path is the measured serving configuration).
-            if s.post_doc_ids is not None and s.mid_term_ids is None:
+            # OR width-capped (tier-2 rectangle active — the sharded
+            # kernel has no tier-2 pass, and the doc-major tail covers
+            # every rare term exactly; capped corpora are 1M-doc scale,
+            # where the single-chip path is the measured serving
+            # configuration).
+            if s.post_doc_ids is not None and s.post2_doc_ids is None:
                 pid_sh, pw_sh, df_sh = sidx.build_sharded_postings(
                     s, self._n_shards)
                 ps = NamedSharding(self._mesh, P("d", None, None))

@@ -1,12 +1,18 @@
-"""Stage ablation of the 1M-doc sparse-candidate kernel (mid tier).
+"""Stage ablation of the 1M-doc sparse-candidate kernel (tier-2 pass).
 
-The capped-postings mid tier moved 1M-doc serving off the dense
+The width-capped postings design moved 1M-doc serving off the dense
 compare tail onto the sparse-candidate kernel; this profiler attributes
 the per-chunk cost (1024-query chunks) across jitted prefixes of the
-shipped kernel — densify+matmul -> +mid sweep -> +leader select ->
-+merge -> full — and A/Bs the >=256k-doc storage tiers (int8 2-pass vs
-bf16 1-pass at equal K) on the SAME loaded index. Run on the real TPU
-on a quiet host; uses the cached archive from profile_1m_stages.py.
+shipped kernel — densify+matmul -> +leader select -> +tier-1 merge ->
++tier-2 merge -> full. Run on the real TPU on a quiet host; uses the
+cached archive from profile_1m_stages.py.
+
+History: the first mid-tier design (doc-major compare sweep over the
+over-cap terms) measured 99 ms/chunk for the sweep alone — term-major
+tier-2 postings replaced it (a mid term has <= ~3.8k postings; the
+doc-major sweep scanned all 1M docs x 16 slots per mid row).
+int8 vs bf16 storage A/B (measured 2026-08-19 before the redesign):
+matmul 17.2 vs 14.2 ms — int8 kept (~20x tighter error for ~3 ms).
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.abspath(_os.path.join(
@@ -32,14 +38,14 @@ def stage_ablation(scorer, queries, k=10):
 
     enc = sidx.encode_queries_split(queries, s)
     fslots, fcnt, trows, tqids, tqcnt = enc
-    tslots = sidx.map_tail_slots(tqids, s)
+    (trows, tslots, tqcnt), grpB = sidx.split_tail_groups(
+        trows, tqids, tqcnt, s)
     cap = sidx.candidate_cap(s, tslots, k)
-    mid_rows = mid_qids = mid_qcnt = None
-    if s.mid_term_ids is not None:
-        mr, mq, mc = sidx.build_mid_queries(trows, tqids, tqcnt, s,
-                                            fslots.shape[0])
-        if mq is not None:
-            mid_rows, mid_qids, mid_qcnt = map(jnp.asarray, (mr, mq, mc))
+    B, cap2 = None, 0
+    if grpB is not None:
+        trB, s1B, qcB, s2B, qc2B = grpB
+        cap2 = sidx.candidate_cap2(s, s1B, s2B, k)
+        B = tuple(map(jnp.asarray, (trB, s1B, qcB, s2B, qc2B)))
     from bayesian_bm25_tpu.engine import pallas_gather as pg
     use_pg = pg.eligible(s.dense_impact.shape[0], len(trows), masked=False)
     comp, r_max = None, 0
@@ -50,27 +56,22 @@ def stage_ablation(scorer, queries, k=10):
             comp = jnp.asarray(packed)
         else:
             r_max = 0
-    print(f"  cap={cap} nt={len(trows)} r_max={r_max} "
+    print(f"  capA={cap} ntA={len(trows)} r_max={r_max} "
           f"pallas_gather={use_pg} "
-          f"mid_nm={None if mid_qids is None else tuple(mid_qids.shape)}",
+          + ("no tier-2 rows" if B is None else
+             f"ntB={len(B[0])} Q2={B[3].shape[1]} cap2={cap2}"),
           flush=True)
     fslots, fcnt, trows, tslots, tqcnt = map(
         jnp.asarray, (fslots, fcnt, trows, tslots, tqcnt))
 
     def prefix(stage):
         @jax.jit
-        def f(impact, impact_lo, presence, post_ids, post_w, dl,
-              fslots, fcnt, trows, tslots, tqcnt, mrows, mq, mc,
-              mid_ids, mid_w):
+        def f(impact, impact_lo, presence, post_ids, post_w, p2_ids,
+              p2_w, dl, fslots, fcnt, trows, tslots, tqcnt, B):
             qvec, qpres = sidx._densify_queries(fslots, fcnt, K)
             scores = sidx._impact_matmul(qvec, impact, impact_lo, prec,
                                          scale=s.impact_scale)
             if stage == "matmul":
-                return scores.max(axis=1)
-            if mq is not None:
-                m_sc, _ = sidx._compare_table(mid_ids, mid_w, mq, mc)
-                scores = scores.at[mrows].add(m_sc)
-            if stage == "mid":
                 return scores.max(axis=1)
             topm_s, topm_i = sidx.exact_topk_blockwise(
                 scores, k, block=256, valid_upto=n_docs)
@@ -81,9 +82,21 @@ def stage_ablation(scorer, queries, k=10):
                 tqcnt, k, cap, n_docs, pallas_gather=use_pg,
                 tf_from_sign=s.post_w_positive,
                 compact=(None if comp is None else (comp, r_max)))
-            if stage == "merge":
+            if stage == "mergeA":
                 return out
             out_ids, out_scores, out_tail_tf = out
+            if B is not None:
+                trB, s1B, qcB, s2B, qc2B = B
+                R2 = p2_ids.shape[0] - 1
+                out_ids, out_scores, out_tail_tf = sidx._sparse_merge(
+                    scores, out_scores, out_ids, post_ids, post_w,
+                    trB, s1B, qcB, k, cap2, n_docs,
+                    tf_from_sign=s.post_w_positive,
+                    postings2=(p2_ids, p2_w, s2B, qc2B),
+                    pad_row_mask=jnp.all(s2B >= R2, axis=1),
+                    base_tail_tf=out_tail_tf)
+            if stage == "mergeB":
+                return out_ids, out_scores, out_tail_tf
             dead = ~jnp.isfinite(out_scores)
             out_scores = jnp.where(dead, 0.0, out_scores)
             out_ids = jnp.where(dead, -1, out_ids)
@@ -93,12 +106,6 @@ def stage_ablation(scorer, queries, k=10):
                                  precision=jax.lax.Precision.HIGHEST,
                                  preferred_element_type=jnp.float32)
             top_tfs = tf_freq + out_tail_tf
-            if mq is not None:
-                w_mid = mid_ids[jnp.maximum(out_ids[mrows], 0)]
-                cnt = jnp.sum(
-                    (w_mid[:, :, :, None] == mq[:, None, None, :])
-                    .astype(jnp.float32), axis=(2, 3))
-                top_tfs = top_tfs.at[mrows].add(cnt)
             top_dlr = dl[jnp.maximum(out_ids, 0)] / idx.avgdl
             probs = T.score_to_probability(
                 out_scores, top_tfs, top_dlr, t.alpha, t.beta, t.base_rate)
@@ -107,13 +114,13 @@ def stage_ablation(scorer, queries, k=10):
         return f
 
     args = (s.dense_impact, s.dense_impact_lo, s.dense_presence,
-            s.post_doc_ids, s.post_weights, idx.doc_lengths,
-            fslots, fcnt, trows, tslots, tqcnt, mid_rows, mid_qids,
-            mid_qcnt, s.mid_term_ids, s.mid_weights)
+            s.post_doc_ids, s.post_weights, s.post2_doc_ids,
+            s.post2_weights, idx.doc_lengths,
+            fslots, fcnt, trows, tslots, tqcnt, B)
     prev = 0.0
-    stages = ("matmul", "mid", "select", "merge", "full")
-    if mid_qids is None:
-        stages = ("matmul", "select", "merge", "full")
+    stages = ("matmul", "select", "mergeA", "mergeB", "full")
+    if B is None:
+        stages = ("matmul", "select", "mergeA", "full")
     for stage in stages:
         ms, out = timed(prefix(stage), *args)
         del out  # drop giant intermediates before the next prefix runs
@@ -150,27 +157,16 @@ def main():
     for i in range(16):
         part = queries16k[i * 1024:(i + 1) * 1024]
         enc = sidx.encode_queries_split(part, s)
-        mr, mq, _ = sidx.build_mid_queries(enc[2], enc[3], enc[4], s, 1024)
-        n_mid += mq is not None
-        if mq is not None:
-            widths.append(f"{mq.shape[0]}x{mq.shape[1]}")
-    print(f"chunks with mid terms: {n_mid}/16  nm x Qm: {widths}",
+        _, grpB = sidx.split_tail_groups(enc[2], enc[3], enc[4], s)
+        n_mid += grpB is not None
+        if grpB is not None:
+            widths.append(f"{grpB[0].shape[0]}x{grpB[3].shape[1]}")
+    print(f"chunks with tier-2 rows: {n_mid}/16  ntB x Q2: {widths}",
           flush=True)
 
     print("int8 (shipped auto tier) stage ablation, 1024q:", flush=True)
     stage_ablation(scorer, chunk)
     steady_state(scorer, queries16k, rng, "int8")
-
-    # A/B: single-bf16 storage (1-pass matmul, ~3e-3 max rel err) at the
-    # same K — rebuilt from the SAME loaded base index.
-    t0 = time.time()
-    scorer._impact_storage = "bf16"
-    scorer._maybe_build_split()
-    print(f"rebuild split storage=bf16 {time.time()-t0:.0f}s  "
-          f"K={scorer._split.n_frequent}", flush=True)
-    print("bf16 stage ablation, 1024q:", flush=True)
-    stage_ablation(scorer, chunk)
-    steady_state(scorer, queries16k, rng, "bf16")
 
 
 if __name__ == "__main__":

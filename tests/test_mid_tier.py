@@ -1,12 +1,13 @@
-"""Capped-postings mid tier: exact parity with the uncapped paths.
+"""Width-capped postings (tier-2 rectangle): parity with uncapped paths.
 
 At huge corpus scale the term-major rare postings rectangle is width-
-capped by the entries budget and over-cap "mid" terms ride a narrow
-doc-major compare sweep instead (engine/split_index.py). The cap must be
-a pure performance transform: retrieval ids / tf counts equal both the
+capped by the entries budget; over-cap terms move to a narrow-but-tall
+tier-2 rectangle folded by a second merge pass over only the query rows
+that carry them (engine/split_index.py). The cap must be a pure
+performance transform: retrieval ids / tf counts equal both the
 uncapped sparse-candidate path and the dense compare-tail path, scores
 within float reassociation tolerance. The budget is monkeypatched small
-here so a 300-doc corpus exercises the tier.
+here so an 800-doc corpus exercises the tier.
 """
 
 import numpy as np
@@ -45,12 +46,12 @@ def _build(monkeypatch, budget):
 class TestMidTier:
     def test_cap_engages_and_matches_uncapped(self, monkeypatch):
         full = _build(monkeypatch, None)
-        assert full._split.mid_term_ids is None
+        assert full._split.post2_doc_ids is None
         ids_full, p_full = full.retrieve(_queries(), k=10)
 
         capped = _build(monkeypatch, 20000)
         s = capped._split
-        assert s.mid_term_ids is not None, "cap did not engage"
+        assert s.post2_doc_ids is not None, "cap did not engage"
         assert s.post_doc_ids is not None, "postings dropped entirely"
         # the capped rectangle honors the budget
         assert s.post_doc_ids.shape[0] * s.post_doc_ids.shape[1] <= 20000
@@ -97,28 +98,34 @@ class TestMidTier:
         ids_a, _ = capped.retrieve(qs, k=8, approx=True)
         assert ids_a.shape == (len(qs), 8)
 
-    def test_mid_query_grid_shapes(self, monkeypatch):
+    def test_tier2_group_shapes(self, monkeypatch):
         capped = _build(monkeypatch, 20000)
         s = capped._split
         enc = sidx.encode_queries_split(_queries(), s)
         _, _, trows, tqids, tqcnt = enc
-        mrows, qids, qcnt = sidx.build_mid_queries(
-            trows, tqids, tqcnt, s, len(_queries()))
-        if qids is None:
-            pytest.skip("no mid terms drawn in this batch")
-        assert qids.shape == qcnt.shape
-        # compact: one row per query with mid terms; both dims bucketed
-        assert mrows.shape == (qids.shape[0],)
-        for d in qids.shape:
+        (ra, s1a, ca), grpB = sidx.split_tail_groups(trows, tqids, tqcnt, s)
+        if grpB is None:
+            pytest.skip("no tier-2 terms drawn in this batch")
+        rb, s1b, cb, s2b, c2b = grpB
+        R = s.post_doc_ids.shape[0] - 1
+        R2 = s.post2_doc_ids.shape[0] - 1
+        # group A rows carry NO tier-2 terms; group B rows carry >= 1
+        rs2 = s.rare2_slot_of_term
+        assert s2b.shape == c2b.shape and rb.shape == (s2b.shape[0],)
+        for d in (len(ra), len(rb), s2b.shape[1]):
             assert d & (d - 1) == 0
-        # pads are QUERY_PAD with zero counts (zero sweep contribution)
-        assert (qcnt[qids < 0] == 0).all()
-        # pad rows point at query 0
-        n_real = int((qids >= 0).any(axis=1).sum())
-        assert (np.asarray(mrows)[n_real:] == 0).all()
+        n_real_b = int((s2b < R2).any(axis=1).sum())
+        assert n_real_b >= 1
+        # pad rows of both groups are all-sentinel with zero counts
+        assert (s1a[(s1a >= R).all(axis=1)] == R).all()
+        assert (s2b[n_real_b:] == R2).all()
+        assert (c2b[s2b == R2] == 0).all()
+        # A and B rows partition the real tail rows
+        assert not (set(ra[(s1a < R).any(axis=1)].tolist())
+                    & set(rb[:n_real_b].tolist()))
 
     def test_batch_without_mid_terms(self, monkeypatch):
-        """A batch whose rare terms are all in-cap skips the sweep."""
+        """A batch whose rare terms are all in-cap skips pass B."""
         capped = _build(monkeypatch, 20000)
         full = _build(monkeypatch, None)
         # frequent-only queries (low term ids are the most frequent)
@@ -134,7 +141,7 @@ class TestMidTier:
         p = str(tmp_path / "s.npz")
         save_scorer(p, capped)
         loaded = load_scorer(p)
-        assert loaded._split.mid_term_ids is not None
+        assert loaded._split.post2_doc_ids is not None
         qs = _queries()
         ids_a, p_a = capped.retrieve(qs, k=6)
         ids_b, p_b = loaded.retrieve(qs, k=6)
