@@ -54,6 +54,18 @@ PACKED_BUILD = True
 # overlaps the reduce. Kept as an A/B-able prototype.
 FUSED_MM = False
 
+# Light/heavy cap split of the tier-1 tail group (split_light_heavy):
+# the candidate cap is set by the HEAVIEST row in the batch, so one
+# query carrying a high-df rare term forces every tail row through a
+# wide sbase gather + sort. Splitting the group into a narrow-cap
+# light pass and a wide-cap heavy pass cuts total gathered elements
+# ~3x at 1M docs. Engages only when the element savings clear the
+# second merge dispatch's fixed cost (the 50k headline regime never
+# splits: its whole gather is ~1M elements).
+LIGHT_HEAVY = True
+_LH_MIN_SAVE = 1_000_000   # min gathered-element savings to engage
+_LH_MIN_RATIO = 2.0        # min (no-split / split) element ratio
+
 
 @dataclass
 class SplitBM25Index:
@@ -571,6 +583,68 @@ def split_tail_groups(tail_rows, tail_qids, tail_qcnt,
     c2B[rr, rank] = tc[bi][rr, jj]
     B = (rowsB, take(bi, ntB, s1, R), take(bi, ntB, tc, 0.0), s2B, c2B)
     return A, B
+
+
+def split_light_heavy(tail_rows, tail_slots, tail_qcnt,
+                      split: SplitBM25Index, k: int):
+    """Partition a tier-1 tail group by per-row postings total
+    (host-side) so the sparse merge can run two passes with per-group
+    candidate caps instead of one pass at the batch-max cap.
+
+    The merge's sbase gather, id-sort, segment sums, and candidate
+    top-k all run at width ``cand_cap = k + pow2(max per-row postings
+    total)`` — one heavy row (a query whose rare terms have large df)
+    widens every row in the batch. This picks the power-of-2 light cap
+    minimizing total gathered elements ``ntL*(k+c) + ntH*cap_full``
+    (group sizes pow2-bucketed, as compiled) and returns the split only
+    when it saves >= _LH_MIN_SAVE elements AND >= _LH_MIN_RATIO x —
+    below that the second merge pass's fixed dispatch cost wins.
+
+    Returns None (keep the single pass) or (light, heavy) where each is
+    (rows, slots, qcnt) padded to a pow2 row count; pad rows carry
+    all-sentinel slots / zero counts in both groups. Per-group caps come
+    from :func:`candidate_cap` on the returned slot grids.
+    """
+    ts = np.asarray(tail_slots)
+    tc = np.asarray(tail_qcnt)
+    tr = np.asarray(tail_rows)
+    nt = ts.shape[0]
+    R = split.post_doc_ids.shape[0] - 1
+    tot = split.rare_df[ts].sum(axis=1)
+    cap_full = k + _pow2_bucket(max(int(tot.max()), 1), 16)
+    base_cost = nt * cap_full
+    best = None
+    c = 16
+    while k + 2 * c < cap_full:
+        light = tot <= c
+        n_light = int(light.sum())
+        n_heavy = nt - n_light
+        if n_heavy == 0:
+            break
+        if n_light:
+            cost = (_pow2_bucket(n_light, 16) * (k + c)
+                    + _pow2_bucket(n_heavy, 16) * cap_full)
+            if best is None or cost < best[0]:
+                best = (cost, light)
+        c *= 2
+    if (best is None or base_cost - best[0] < _LH_MIN_SAVE
+            or base_cost < _LH_MIN_RATIO * best[0]):
+        return None
+    light = best[1]
+    li = np.nonzero(light)[0]
+    hi = np.nonzero(~light)[0]
+
+    def group(idx, minimum):
+        n_pad = _pow2_bucket(max(len(idx), 1), minimum)
+        rows = np.zeros(n_pad, dtype=np.int32)
+        rows[: len(idx)] = tr[idx]
+        slots = np.full((n_pad, ts.shape[1]), R, ts.dtype)
+        slots[: len(idx)] = ts[idx]
+        qcnt = np.zeros((n_pad, tc.shape[1]), tc.dtype)
+        qcnt[: len(idx)] = tc[idx]
+        return rows, slots, qcnt
+
+    return group(li, 16), group(hi, 16)
 
 
 def candidate_cap2(split: SplitBM25Index, tail_slots1: np.ndarray,
@@ -1284,7 +1358,8 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
          static_argnames=("k", "cand_cap", "n_docs", "prior_free", "approx",
                           "precision", "pallas_gather", "tf_from_sign",
                           "compact_rmax", "q_int8_ok", "fused_mm",
-                          "cand_cap2"))
+                          "cand_cap2", "cand_capH", "compactH_rmax",
+                          "pallas_gather_h"))
 def retrieve_topk_split_sparse(
     dense_impact, dense_presence, post_ids, post_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
@@ -1295,7 +1370,9 @@ def retrieve_topk_split_sparse(
     impact_scale=None, q_int8_ok: bool = True, fused_mm: bool = False,
     post2_ids=None, post2_w=None, tailB_rows=None, tailB_slots=None,
     tailB_qcnt=None, tailB_slots2=None, tailB_qcnt2=None,
-    cand_cap2: int = 0,
+    cand_cap2: int = 0, tailH_rows=None, tailH_slots=None, tailH_qcnt=None,
+    cand_capH: int = 0, compactH=None, compactH_rmax: int = 0,
+    pallas_gather_h: bool = False,
 ):
     """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
 
@@ -1366,6 +1443,19 @@ def retrieve_topk_split_sparse(
         pallas_gather=pallas_gather and doc_mask is None,
         tf_from_sign=tf_from_sign,
         compact=None if compact is None else (compact, compact_rmax))
+
+    if tailH_rows is not None:
+        # Heavy pass (light/heavy cap split): the few rows whose rare
+        # terms have large postings totals merge at their own wide cap,
+        # so the light pass above ran at a ~narrow one. Rows are
+        # disjoint from the light group; scatter composition is exact.
+        out_ids, out_scores, out_tail_tf = _sparse_merge(
+            scores, out_scores, out_ids, post_ids, post_w,
+            tailH_rows, tailH_slots, tailH_qcnt, k, cand_capH, n_docs,
+            pallas_gather=pallas_gather_h and doc_mask is None,
+            tf_from_sign=tf_from_sign,
+            compact=None if compactH is None else (compactH, compactH_rmax),
+            base_tail_tf=out_tail_tf)
 
     if tailB_rows is not None:
         # Tier-2 pass (width-capped indexes): the few query rows that

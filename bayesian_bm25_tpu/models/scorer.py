@@ -899,6 +899,32 @@ class BayesianBM25Scorer:
                 # get a second merge pass; group A is the common case.
                 (trows, tslots, tqcnt), grpB = sidx.split_tail_groups(
                     trows, tqids, tqcnt, s)
+                # Light/heavy cap split: one heavy row otherwise forces
+                # the whole batch through a wide merge (engages only
+                # when the element savings clear the extra dispatch).
+                lh = (sidx.split_light_heavy(trows, tslots, tqcnt,
+                                             s, k_eff)
+                      if sidx.LIGHT_HEAVY else None)
+                h_kw = {}
+                if lh is not None:
+                    (trows, tslots, tqcnt), (hrows, hslots, hqcnt) = lh
+                    from bayesian_bm25_tpu.engine import pallas_gather
+                    h_kw = dict(
+                        tailH_rows=jnp.asarray(hrows),
+                        tailH_slots=jnp.asarray(hslots),
+                        tailH_qcnt=jnp.asarray(hqcnt),
+                        cand_capH=sidx.candidate_cap(s, hslots, k_eff),
+                        pallas_gather_h=pallas_gather.eligible(
+                            s.dense_impact.shape[0], len(hrows),
+                            masked=doc_mask is not None),
+                    )
+                    if sidx.PACKED_BUILD:
+                        R = s.post_doc_ids.shape[0] - 1
+                        packedH, r_maxH = sidx.compact_tail_postings(
+                            hslots, hqcnt, R)
+                        if r_maxH < hslots.shape[1]:
+                            h_kw["compactH"] = jnp.asarray(packedH)
+                            h_kw["compactH_rmax"] = r_maxH
                 cap = sidx.candidate_cap(s, tslots, k_eff)
                 b_kw = {}
                 if grpB is not None:
@@ -957,7 +983,7 @@ class BayesianBM25Scorer:
                         impact_scale=s.impact_scale,
                         q_int8_ok=sidx._q_int8_ok(s, fcnt),
                         fused_mm=use_fmm,
-                        **b_kw,
+                        **b_kw, **h_kw,
                     )
                 )
             else:
