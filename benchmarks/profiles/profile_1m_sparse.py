@@ -40,6 +40,26 @@ def stage_ablation(scorer, queries, k=10):
     fslots, fcnt, trows, tqids, tqcnt = enc
     (trows, tslots, tqcnt), grpB = sidx.split_tail_groups(
         trows, tqids, tqcnt, s)
+    H, capH = None, 0
+    if sidx.LIGHT_HEAVY:
+        lh = sidx.split_light_heavy(trows, tslots, tqcnt, s, k)
+        if lh is not None:
+            (trows, tslots, tqcnt), (hrows, hslots, hqcnt) = lh
+            capH = sidx.candidate_cap(s, hslots, k)
+            compH, r_maxH = None, 0
+            if sidx.PACKED_BUILD:
+                R = s.post_doc_ids.shape[0] - 1
+                packedH, r_maxH = sidx.compact_tail_postings(
+                    hslots, hqcnt, R)
+                if r_maxH < hslots.shape[1]:
+                    compH = jnp.asarray(packedH)
+                else:
+                    r_maxH = 0
+            H = (jnp.asarray(hrows), jnp.asarray(hslots),
+                 jnp.asarray(hqcnt), compH, r_maxH)
+            print(f"  light/heavy split: ntL={len(trows)} "
+                  f"ntH={len(hrows)} capH={capH} r_maxH={r_maxH}",
+                  flush=True)
     cap = sidx.candidate_cap(s, tslots, k)
     B, cap2 = None, 0
     if grpB is not None:
@@ -85,6 +105,16 @@ def stage_ablation(scorer, queries, k=10):
             if stage == "mergeA":
                 return out
             out_ids, out_scores, out_tail_tf = out
+            if H is not None:
+                hrows, hslots, hqcnt, compH, r_maxH = H
+                out_ids, out_scores, out_tail_tf = sidx._sparse_merge(
+                    scores, out_scores, out_ids, post_ids, post_w,
+                    hrows, hslots, hqcnt, k, capH, n_docs,
+                    tf_from_sign=s.post_w_positive,
+                    compact=(None if compH is None else (compH, r_maxH)),
+                    base_tail_tf=out_tail_tf)
+            if stage == "mergeH":
+                return out_ids, out_scores, out_tail_tf
             if B is not None:
                 trB, s1B, qcB, s2B, qc2B = B
                 R2 = p2_ids.shape[0] - 1
@@ -118,9 +148,12 @@ def stage_ablation(scorer, queries, k=10):
             s.post2_weights, idx.doc_lengths,
             fslots, fcnt, trows, tslots, tqcnt, B)
     prev = 0.0
-    stages = ("matmul", "select", "mergeA", "mergeB", "full")
-    if B is None:
-        stages = ("matmul", "select", "mergeA", "full")
+    stages = ["matmul", "select", "mergeA"]
+    if H is not None:
+        stages.append("mergeH")
+    if B is not None:
+        stages.append("mergeB")
+    stages.append("full")
     for stage in stages:
         ms, out = timed(prefix(stage), *args)
         del out  # drop giant intermediates before the next prefix runs
