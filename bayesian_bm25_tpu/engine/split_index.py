@@ -468,9 +468,25 @@ def build_sharded_postings(split: SplitBM25Index, n_shards: int):
     ascending-id order is preserved, so the per-shard merge sums in the
     same order as the single-chip merge restricted to that range.
     """
-    pid = np.asarray(split.post_doc_ids)
-    pw = np.asarray(split.post_weights)
-    D_pad = split.dense_impact.shape[0]
+    return _shard_postings_rect(
+        np.asarray(split.post_doc_ids), np.asarray(split.post_weights),
+        split.dense_impact.shape[0], n_shards)
+
+
+def build_sharded_postings2(split: SplitBM25Index, n_shards: int):
+    """Doc-shard the TIER-2 rectangle (width-capped indexes) the same
+    way as :func:`build_sharded_postings`, so the distributed kernel can
+    run the second merge pass shard-locally. Returns None when no cap
+    engaged, else (post2_ids, post2_w, rare2_df) per-shard tables."""
+    if split.post2_doc_ids is None:
+        return None
+    return _shard_postings_rect(
+        np.asarray(split.post2_doc_ids), np.asarray(split.post2_weights),
+        split.dense_impact.shape[0], n_shards)
+
+
+def _shard_postings_rect(pid: np.ndarray, pw: np.ndarray, D_pad: int,
+                         n_shards: int):
     if D_pad % n_shards:
         raise ValueError(
             f"D_pad {D_pad} must divide the {n_shards}-shard mesh")
@@ -508,6 +524,19 @@ def sharded_candidate_cap(rare_df_sh: np.ndarray, tail_slots: np.ndarray,
     per_row = rare_df_sh[:, ts].sum(axis=2)  # (n_shards, nt, Qt) -> sum Qt
     cap = k + _pow2_bucket(max(int(per_row.max()), 1), 16)
     return min(cap, k + ts.shape[1] * P_shard)
+
+
+def sharded_candidate_cap2(rare_df_sh: np.ndarray, rare2_df_sh: np.ndarray,
+                           tail_slots1: np.ndarray, tail_slots2: np.ndarray,
+                           k: int, P_shard: int, P2_shard: int) -> int:
+    """Sharded analogue of :func:`candidate_cap2`: per-group-B-row
+    candidate width for the tier-2 merge pass = k leaders + the worst
+    per-shard postings total across BOTH tiers."""
+    d1 = rare_df_sh[:, np.asarray(tail_slots1)].sum(axis=2)
+    d2 = rare2_df_sh[:, np.asarray(tail_slots2)].sum(axis=2)
+    cap = k + _pow2_bucket(max(int((d1 + d2).max()), 1), 16)
+    Qt, Q2 = tail_slots1.shape[1], tail_slots2.shape[1]
+    return min(cap, k + Qt * P_shard + Q2 * P2_shard)
 
 
 def map_tail_slots(tail_qids: np.ndarray, split: SplitBM25Index) -> np.ndarray:
@@ -599,6 +628,18 @@ def split_light_heavy(tail_rows, tail_slots, tail_qcnt,
     (group sizes pow2-bucketed, as compiled) and returns the split only
     when it saves >= _LH_MIN_SAVE elements AND >= _LH_MIN_RATIO x —
     below that the second merge pass's fixed dispatch cost wins.
+
+    The cost model deliberately counts only the cand_cap-width stages
+    (sbase gather, segment sums, candidate top-k); the candidate
+    id-sort still runs at the full concat width (k + Qt*P, or the
+    packed r_max*P), which the split does not narrow — so the estimate
+    overstates savings in sort-dominated regimes. The conservative
+    _LH_MIN_SAVE/_LH_MIN_RATIO thresholds compensate: the split only
+    engages when the gather-width savings alone are large. Engagement
+    is also a compile-cache dimension (tailH args, cand_capH, heavy
+    group size — all pow2-bucketed like the existing grpB split); a
+    batch stream oscillating around the threshold alternates between
+    two warm compiled variants, which is benign.
 
     Returns None (keep the single pass) or (light, heavy) where each is
     (rows, slots, qcnt) padded to a pow2 row count; pad rows carry

@@ -905,16 +905,16 @@ class BayesianBM25Scorer:
                 lh = (sidx.split_light_heavy(trows, tslots, tqcnt,
                                              s, k_eff)
                       if sidx.LIGHT_HEAVY else None)
+                from bayesian_bm25_tpu.engine import pallas_gather as pg
                 h_kw = {}
                 if lh is not None:
                     (trows, tslots, tqcnt), (hrows, hslots, hqcnt) = lh
-                    from bayesian_bm25_tpu.engine import pallas_gather
                     h_kw = dict(
                         tailH_rows=jnp.asarray(hrows),
                         tailH_slots=jnp.asarray(hslots),
                         tailH_qcnt=jnp.asarray(hqcnt),
                         cand_capH=sidx.candidate_cap(s, hslots, k_eff),
-                        pallas_gather_h=pallas_gather.eligible(
+                        pallas_gather_h=pg.eligible(
                             s.dense_impact.shape[0], len(hrows),
                             masked=doc_mask is not None),
                     )
@@ -940,7 +940,6 @@ class BayesianBM25Scorer:
                         cand_cap2=sidx.candidate_cap2(
                             s, s1B, s2B, k_eff),
                     )
-                from bayesian_bm25_tpu.engine import pallas_gather as pg
                 use_pg = pg.eligible(
                     s.dense_impact.shape[0], len(trows),
                     masked=doc_mask is not None)

@@ -429,7 +429,12 @@ def sharded_retrieve_topk_split_sparse(
         approx: bool = False, precision=jax.lax.Precision.HIGHEST,
         doc_mask=None, impact_lo=None, local_k: int | None = None,
         tf_from_sign: bool = False, compact=None, compact_rmax: int = 0,
-        impact_scale=None):
+        impact_scale=None,
+        post2_ids_sh=None, post2_w_sh=None, tailB_rows=None,
+        tailB_slots=None, tailB_qcnt=None, tailB_slots2=None,
+        tailB_qcnt2=None, cand_cap2: int = 0,
+        tailH_rows=None, tailH_slots=None, tailH_qcnt=None,
+        cand_capH: int = 0, compactH=None, compactH_rmax: int = 0):
     """Distributed sparse-candidate exact top-k (the fastest single-chip
     kernel, doc-sharded): per shard, one MXU matmul + local leader
     selection + rare-postings merge against the SHARD-LOCAL postings
@@ -459,6 +464,15 @@ def sharded_retrieve_topk_split_sparse(
     scalars travel as operands, so repeated serving calls re-dispatch
     the same executable instead of re-tracing (a per-call body closure
     was measured recompiling EVERY retrieve on the scaling study).
+
+    Width-capped indexes (tier-2 rectangle active) run the SAME
+    two-pass merge as the single-chip kernel: group-B rows (those
+    carrying over-cap rare terms) get a second shard-local merge pass
+    against the doc-sharded tier-2 tables
+    (``build_sharded_postings2``); the light/heavy cap split likewise
+    adds a shard-local heavy pass. Pass ``cand_cap2 > 0`` with the
+    tailB operands / ``cand_capH > 0`` with the tailH operands to
+    engage them (both 0 = single-pass, the uncapped common case).
     """
     D_pad = dense_impact.shape[0]
     n_real = n_docs if n_docs is not None else D_pad
@@ -469,10 +483,11 @@ def sharded_retrieve_topk_split_sparse(
     # the dense build gathers), so one host compaction serves every
     # shard as replicated operands.
     rmax = compact_rmax if compact is not None else 0
+    rmaxH = compactH_rmax if compactH is not None else 0
     body = _sparse_retrieve_body(
         mesh, k, lk, cand_cap, n_real, bool(prior_free), bool(approx),
         precision, base_rate is not None, bool(tf_from_sign), rmax,
-        _int8_ok(impact_scale, fcnt))
+        _int8_ok(impact_scale, fcnt), cand_cap2, cand_capH, rmaxH)
 
     # Sharded validity mask: real docs pass their doc_mask bit; global
     # pad docs always drop.
@@ -485,14 +500,33 @@ def sharded_retrieve_topk_split_sparse(
     mask_pad = jax.device_put(jnp.asarray(base_mask),
                               NamedSharding(mesh, P("d")))
     f32 = jnp.float32
+    i32 = jnp.int32
     cpk = (jnp.asarray(compact) if rmax
            else jnp.zeros((3, 1), jnp.int32))
+    cpkH = (jnp.asarray(compactH) if rmaxH
+            else jnp.zeros((3, 1), jnp.int32))
+    n_sh = int(mesh.shape["d"])
+
+    def _opt(a, dtype, shape):
+        return jnp.asarray(a) if a is not None else jnp.zeros(shape, dtype)
+
+    pid2 = _opt(post2_ids_sh, i32, (n_sh, 1, 1))
+    pw2 = _opt(post2_w_sh, f32, (n_sh, 1, 1))
     return body(dense_impact, _lo_operand(mesh, dense_impact, impact_lo),
                 _scale_operand(impact_scale),
                 dense_presence, post_ids_sh, post_w_sh, doc_lengths,
                 jnp.asarray(fslots), jnp.asarray(fcnt),
                 jnp.asarray(tail_rows), jnp.asarray(tail_slots),
                 jnp.asarray(tail_qcnt), cpk, mask_pad,
+                pid2, pw2,
+                _opt(tailB_rows, i32, (1,)),
+                _opt(tailB_slots, i32, (1, 1)),
+                _opt(tailB_qcnt, f32, (1, 1)),
+                _opt(tailB_slots2, i32, (1, 1)),
+                _opt(tailB_qcnt2, f32, (1, 1)),
+                _opt(tailH_rows, i32, (1,)),
+                _opt(tailH_slots, i32, (1, 1)),
+                _opt(tailH_qcnt, f32, (1, 1)), cpkH,
                 jnp.asarray(alpha, f32), jnp.asarray(beta, f32),
                 jnp.asarray(0.0 if base_rate is None else base_rate, f32),
                 jnp.asarray(avgdl, f32))
@@ -502,11 +536,15 @@ def sharded_retrieve_topk_split_sparse(
 def _sparse_retrieve_body(mesh, k, lk, cand_cap, n_real, prior_free,
                           approx, precision, has_base_rate,
                           tf_from_sign=False, compact_rmax=0,
-                          q_int8_ok=True):
+                          q_int8_ok=True, cand_cap2=0, cand_capH=0,
+                          compactH_rmax=0):
     """Compiled per-shard sparse retrieve, cached on the static config
     (mesh + shape/selection parameters). Scalars are operands;
     ``compact_rmax`` > 0 switches the merge to the rank-packed
-    candidate build (flat compaction arrays travel replicated)."""
+    candidate build (flat compaction arrays travel replicated);
+    ``cand_capH``/``cand_cap2`` > 0 compile the light/heavy and tier-2
+    merge passes (same pass structure as the single-chip kernel,
+    shard-local postings)."""
     from bayesian_bm25_tpu.engine.split_index import (
         _densify_queries, _impact_matmul, _sparse_merge)
 
@@ -517,13 +555,18 @@ def _sparse_retrieve_body(mesh, k, lk, cand_cap, n_real, prior_free,
                   P("d", None, None), P("d", None, None), P("d"),
                   P(None, None), P(None, None), P(None), P(None, None),
                   P(None, None), P(None, None), P("d"),
+                  P("d", None, None), P("d", None, None),
+                  P(None), P(None, None), P(None, None),
+                  P(None, None), P(None, None),
+                  P(None), P(None, None), P(None, None), P(None, None),
                   P(), P(), P(), P()),
         out_specs=(P(None, None), P(None, None), P(None, None),
                    P(None, None)),
         check_vma=False,
     )
     def body(imp, lo, sc, pres, pid3, pw3, dl, fs, fc, trow, tsl, tqc,
-             cpk, mask, alpha, beta, br, avgdl):
+             cpk, mask, pid2_3, pw2_3, trowB, tslB, tqcB, tsl2B, tqc2B,
+             trowH, tslH, tqcH, cpkH, alpha, beta, br, avgdl):
         pid = pid3[0]
         pw = pw3[0]
         qvec, qpres = _densify_queries(fs, fc, imp.shape[1])
@@ -544,6 +587,29 @@ def _sparse_retrieve_body(mesh, k, lk, cand_cap, n_real, prior_free,
             scores, topm_s, topm_i, pid, pw, trow, tsl, tqc, lk,
             cand_cap, D_local, tf_from_sign=tf_from_sign,
             compact=(cpk, compact_rmax) if compact_rmax else None)
+        if cand_capH:
+            # Heavy pass (light/heavy cap split) — same composition as
+            # the single-chip kernel: disjoint rows scatter over the
+            # light pass's output at their own (wider) cap.
+            out_ids, out_scores, out_tail_tf = _sparse_merge(
+                scores, out_scores, out_ids, pid, pw, trowH, tslH, tqcH,
+                lk, cand_capH, D_local, tf_from_sign=tf_from_sign,
+                compact=(cpkH, compactH_rmax) if compactH_rmax else None,
+                base_tail_tf=out_tail_tf)
+        if cand_cap2:
+            # Tier-2 pass (width-capped indexes): group-B rows merge
+            # lk leaders ++ their shard-local tier-1 ++ tier-2 postings
+            # in one candidate set, so a doc scored by terms from both
+            # tiers sums exactly within the shard.
+            pid2 = pid2_3[0]
+            pw2 = pw2_3[0]
+            R2 = pid2.shape[0] - 1
+            out_ids, out_scores, out_tail_tf = _sparse_merge(
+                scores, out_scores, out_ids, pid, pw, trowB, tslB, tqcB,
+                lk, cand_cap2, D_local, tf_from_sign=tf_from_sign,
+                postings2=(pid2, pw2, tsl2B, tqc2B),
+                pad_row_mask=jnp.all(tsl2B >= R2, axis=1),
+                base_tail_tf=out_tail_tf)
 
         safe = jnp.maximum(out_ids, 0)
         pres_rows = pres[safe]  # (nq, k, K)

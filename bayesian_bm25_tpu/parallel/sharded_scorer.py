@@ -78,7 +78,8 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                 f"{mesh.axis_names}")
         self._mesh = mesh
         self._n_shards = int(mesh.shape["d"])
-        self._post_sh = None  # sharded rare postings (set by index())
+        self._post_sh = None   # sharded rare postings (set by index())
+        self._post2_sh = None  # sharded tier-2 rectangle (capped builds)
 
     @property
     def mesh(self):
@@ -102,6 +103,7 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
         idx.doc_lengths = jax.device_put(idx.doc_lengths, vs)
         s = self._split
         self._post_sh = None
+        self._post2_sh = None
         if s is not None:
             from bayesian_bm25_tpu.engine import split_index as sidx
 
@@ -117,13 +119,12 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                     storage=storage)
             # Doc-shard the rare postings for the distributed
             # sparse-candidate retrieve (the fastest kernel); falls back
-            # to the tail-compare kernel when postings are over budget
-            # OR width-capped (tier-2 rectangle active — the sharded
-            # kernel has no tier-2 pass, and the doc-major tail covers
-            # every rare term exactly; capped corpora are 1M-doc scale,
-            # where the single-chip path is the measured serving
-            # configuration).
-            if s.post_doc_ids is not None and s.post2_doc_ids is None:
+            # to the tail-compare kernel only when postings are over
+            # budget entirely. Width-capped indexes (tier-2 rectangle
+            # active — 1M-doc scale, where sharding matters most) shard
+            # BOTH rectangles and run the same two-pass merge as the
+            # single-chip kernel.
+            if s.post_doc_ids is not None:
                 pid_sh, pw_sh, df_sh = sidx.build_sharded_postings(
                     s, self._n_shards)
                 ps = NamedSharding(self._mesh, P("d", None, None))
@@ -132,6 +133,14 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                     jax.device_put(jnp.asarray(pw_sh), ps),
                     df_sh,
                 )
+                t2 = sidx.build_sharded_postings2(s, self._n_shards)
+                if t2 is not None:
+                    pid2_sh, pw2_sh, df2_sh = t2
+                    self._post2_sh = (
+                        jax.device_put(jnp.asarray(pid2_sh), ps),
+                        jax.device_put(jnp.asarray(pw2_sh), ps),
+                        df2_sh,
+                    )
             s.dense_impact = jax.device_put(s.dense_impact, ds)
             s.dense_presence = jax.device_put(s.dense_presence, ds)
             s.tail_term_ids = jax.device_put(s.tail_term_ids, ds)
@@ -225,13 +234,50 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
             s = self._split
             fslots, fcnt, trows, tqids, tqcnt = self._encode_split(
                 query_tokens)
-            tslots = sidx.map_tail_slots(tqids, s)
             pid_sh, pw_sh, df_sh = self._post_sh
+            R = pid_sh.shape[1] - 1
+            # Same host-side pass structure as the single-chip launch:
+            # tier partition (group B rows carry >=1 tier-2 term), then
+            # the light/heavy cap split of the tier-1 group. Partition
+            # decisions reuse the single-chip heuristics (global dfs —
+            # per-shard widths scale ~1/n_shards uniformly, so the
+            # ratio criterion carries over); CAPS come from the
+            # per-shard df tables.
+            (trows, tslots, tqcnt), grpB = sidx.split_tail_groups(
+                trows, tqids, tqcnt, s)
+            lh = (sidx.split_light_heavy(trows, tslots, tqcnt, s, k_eff)
+                  if sidx.LIGHT_HEAVY else None)
+            h_kw = {}
+            if lh is not None:
+                (trows, tslots, tqcnt), (hrows, hslots, hqcnt) = lh
+                h_kw = dict(
+                    tailH_rows=hrows, tailH_slots=hslots,
+                    tailH_qcnt=hqcnt,
+                    cand_capH=sidx.sharded_candidate_cap(
+                        df_sh, hslots, k_eff, pid_sh.shape[2]),
+                )
+                if sidx.PACKED_BUILD:
+                    packedH, r_maxH = sidx.compact_tail_postings(
+                        hslots, hqcnt, R)
+                    if r_maxH < hslots.shape[1]:
+                        h_kw["compactH"] = packedH
+                        h_kw["compactH_rmax"] = r_maxH
+            b_kw = {}
+            if grpB is not None:
+                pid2_sh, pw2_sh, df2_sh = self._post2_sh
+                trB, s1B, qcB, s2B, qc2B = grpB
+                b_kw = dict(
+                    post2_ids_sh=pid2_sh, post2_w_sh=pw2_sh,
+                    tailB_rows=trB, tailB_slots=s1B, tailB_qcnt=qcB,
+                    tailB_slots2=s2B, tailB_qcnt2=qc2B,
+                    cand_cap2=sidx.sharded_candidate_cap2(
+                        df_sh, df2_sh, s1B, s2B, k_eff,
+                        pid_sh.shape[2], pid2_sh.shape[2]),
+                )
             cap = sidx.sharded_candidate_cap(
                 df_sh, tslots, k_eff, pid_sh.shape[2])
             comp, r_max = None, 0
             if sidx.PACKED_BUILD:
-                R = pid_sh.shape[1] - 1
                 packed, r_max = sidx.compact_tail_postings(
                     tslots, tqcnt, R)
                 if r_max < tslots.shape[1]:
@@ -249,7 +295,7 @@ class ShardedBayesianBM25Scorer(BayesianBM25Scorer):
                     doc_mask=doc_mask, impact_lo=s.dense_impact_lo,
                     tf_from_sign=s.post_w_positive,
                     compact=comp, compact_rmax=r_max,
-                    impact_scale=s.impact_scale,
+                    impact_scale=s.impact_scale, **h_kw, **b_kw,
                 )
             )
         elif self._split is not None:

@@ -79,7 +79,8 @@ def make_queries(rng, n=8192, qlen=8, vocab=30_000):
     return [[f"t{t}" for t in rng.zipf(1.3, size=qlen) % vocab] for _ in range(n)]
 
 
-def bench_tpu(corpus, queries, k=10, reps=5, impact_storage="int8"):
+def bench_tpu(corpus, queries, k=10, reps=5, impact_storage="int8",
+              n_runs=1):
     """Steady-state serving throughput: ``retrieve_many`` launches every
     batch's encode + kernel before pulling any result, so host work and
     transfers overlap device compute — the double-buffered regime a
@@ -111,12 +112,15 @@ def bench_tpu(corpus, queries, k=10, reps=5, impact_storage="int8"):
         for _ in range(reps - 1)
     ]
     scorer.retrieve_many(batches, k=k)  # compile + warm every shape
-    t0 = time.time()
-    outs = scorer.retrieve_many(batches, k=k)
-    dt = (time.time() - t0) / reps
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        outs = scorer.retrieve_many(batches, k=k)
+        dt = (time.time() - t0) / reps
+        runs.append(len(queries) / dt)
     for _, probs in outs:
         assert np.all((probs >= 0) & (probs < 1))
-    return len(queries) / dt
+    return runs if n_runs > 1 else runs[0]
 
 
 def bench_cpu_reference(corpus, queries, k=10, reps=2):
@@ -223,7 +227,13 @@ def main():
     queries = make_queries(rng)
 
     try:
-        tpu_qps = bench_tpu(corpus, queries)
+        # Statistical honesty: the shared axon pool shows ~8% run-to-run
+        # spread on identical code, so the headline is the MEDIAN of
+        # n_runs independent timed passes (each itself averaging `reps`
+        # steady-state retrieve_many calls); min/max and rep count ship
+        # alongside so the spread stays auditable.
+        tpu_runs = sorted(bench_tpu(corpus, queries, n_runs=3))
+        tpu_qps = tpu_runs[len(tpu_runs) // 2]
         # Transparency: also measure the ctor-default configuration
         # (matmul_precision="high" -> hilo pair storage, ~7.6e-6 score
         # error) so the headline's serving-tier choice is auditable.
@@ -251,6 +261,11 @@ def main():
         "vs_baseline": round(tpu_qps / cpu_qps, 2),
         "serving_config": "impact_storage=int8 (rank-exact mod exact "
                           "ties; ~2e-4 worst-case score error)",
+        "tpu_qps_runs": [round(x, 1) for x in tpu_runs],
+        "tpu_runs_stat": {"median": round(tpu_qps, 1),
+                          "min": round(tpu_runs[0], 1),
+                          "max": round(tpu_runs[-1], 1),
+                          "n_runs": len(tpu_runs)},
         "ctor_default_qps": round(default_qps, 1),
         "baseline_detail": {
             "cpu_qps_runs": [round(x, 1) for x in cpu_runs],

@@ -24,6 +24,7 @@ from profile_1m_stages import CACHE
 def main():
     rng = np.random.default_rng(0)
     vocab = 120_000
+    from bayesian_bm25_tpu.engine import split_index as sidx
     from bayesian_bm25_tpu.utils.io import load_scorer
     t0 = time.time()
     scorer = load_scorer(CACHE)
@@ -35,9 +36,10 @@ def main():
           flush=True)
     post = (None if sp.post_doc_ids is None
             else tuple(sp.post_doc_ids.shape))
-    mid = (None if sp.mid_term_ids is None
-           else tuple(sp.mid_term_ids.shape))
-    print(f"kernel path: postings={post}  mid={mid}  "
+    post2 = (None if sp.post2_doc_ids is None
+             else tuple(sp.post2_doc_ids.shape))
+    print(f"kernel path: postings={post}  tier2={post2}  "
+          f"light_heavy={sidx.LIGHT_HEAVY}  "
           f"({'sparse-candidate' if post else 'dense compare tail'})",
           flush=True)
 
