@@ -726,9 +726,12 @@ def compact_tail_postings(tail_slots: np.ndarray, tail_qcnt: np.ndarray,
     and every sum stays bit-equal to the dense build.
 
     Returns (packed (3, nr) int32, r_max): rows are flat_slots,
-    flat_dest, and flat_qcnt BITCAST to int32 — one stacked array means
-    one host->device transfer per batch (link latency, not bandwidth,
-    dominates small transfers through an interconnect tunnel).
+    flat_dest, and flat_qcnt as plain integer counts (widened to f32 on
+    device — exact, and keeps every value small so :func:`ship_arrays`
+    can pack the whole batch into an int16 buffer) — one stacked array
+    means one host->device transfer per batch (link latency, not
+    bandwidth, dominates small transfers through an interconnect
+    tunnel).
     ``flat_dest`` indexes the flattened (nt*r_max,) row space. nr and
     r_max are power-of-2 bucketed (pads: slot R -> sentinel row, dest
     nt*r_max -> trash row, qcnt 0) so compile shapes stay bounded."""
@@ -750,8 +753,55 @@ def compact_tail_postings(tail_slots: np.ndarray, tail_qcnt: np.ndarray,
     packed[2] = 0
     packed[0, :len(rows)] = ts[rows, js]
     packed[1, :len(rows)] = (rows * r_max + rank).astype(np.int32)
-    packed[2, :len(rows)] = qc[rows, js].astype(np.float32).view(np.int32)
+    packed[2, :len(rows)] = qc[rows, js].astype(np.int32)
     return packed, int(r_max)
+
+
+_SHIP_CACHE: dict = {}
+
+
+def ship_arrays(arrays):
+    """Transfer small integer-valued host arrays as ONE packed buffer.
+
+    The axon tunnel's H2D cost is dominated by per-transfer overhead
+    and a slow 2-D relayout path, not bytes (profiles/profile_h2d.py,
+    v5e 2026-08-20: the 5 encode arrays of a 8192-query batch cost
+    27.4 ms as individual puts, 10.3 ms as one packed 1-D int16
+    buffer, ~14 ms as one int32 buffer). This packs every operand into
+    one 1-D buffer — int16 when all values fit, else int32 — ships it,
+    and splits/casts back on device in a tiny jitted program (cached
+    per shape/dtype signature; pow2 bucketing upstream bounds the
+    variant count). float32 inputs must be integer-valued (the query
+    count grids are); their round-trip through the int buffer is
+    exact.
+
+    Returns a tuple of device arrays with the original shapes/dtypes.
+    """
+    parts = [np.asarray(a) for a in arrays]
+    if not parts:
+        return ()
+    lo = min(float(p.min()) if p.size else 0.0 for p in parts)
+    hi = max(float(p.max()) if p.size else 0.0 for p in parts)
+    pack_dt = np.int16 if -32768 <= lo and hi <= 32767 else np.int32
+    flat = np.concatenate([p.astype(pack_dt).ravel() for p in parts])
+    sig = (tuple((p.shape, p.dtype.name) for p in parts),
+           pack_dt().dtype.name)
+    fn = _SHIP_CACHE.get(sig)
+    if fn is None:
+        shapes = [p.shape for p in parts]
+        dtypes = [p.dtype.name for p in parts]
+        offs = np.cumsum([0] + [int(np.prod(s)) for s in shapes])
+
+        @jax.jit
+        def unpack(buf):
+            outs = []
+            for i, (shape, dt) in enumerate(zip(shapes, dtypes)):
+                seg = buf[offs[i]:offs[i + 1]].reshape(shape)
+                outs.append(seg.astype(dt))
+            return tuple(outs)
+
+        fn = _SHIP_CACHE[sig] = unpack
+    return fn(flat)
 
 
 def encode_queries_split(
@@ -867,7 +917,7 @@ def _densify_queries(fslots, fcnt, K: int):
 
 
 def _impact_matmul(qvec, impact, impact_lo, precision, scale=None,
-                   q_int8_ok: bool = True):
+                   q_int8_ok: bool = True, coarse: bool = False):
     """The frequent-term scoring matmul under any storage mode.
 
     hilo storage (impact_lo is not None): two 1-pass matmuls on the bf16
@@ -884,6 +934,13 @@ def _impact_matmul(qvec, impact, impact_lo, precision, scale=None,
     caller checks host-side); the fallback dequantizes the matrix pair
     in-kernel and runs one f32 dot — correct at any count, ~2 extra
     HBM passes over the (D, K) pair.
+
+    ``coarse=True`` (int8 storage only) is the RANK-ONLY fast tier: it
+    drops the lo-residual dot, halving the MXU work, at ~1/128 (~0.8%)
+    relative score error — rankings are approximately preserved and
+    recall-tolerant callers trade that error for throughput (the
+    opt-in analogue of ``approx=True`` on the selection side). No-op
+    under the exact storage modes.
     """
     if impact.dtype == jnp.int8 and scale is None:
         raise ValueError(
@@ -894,6 +951,8 @@ def _impact_matmul(qvec, impact, impact_lo, precision, scale=None,
         if q_int8_ok:
             qi = qvec.astype(jnp.int8)
             hi = jnp.dot(qi, impact.T, preferred_element_type=jnp.int32)
+            if coarse:
+                return hi.astype(jnp.float32) * scale[0][None, :]
             lo = jnp.dot(qi, impact_lo.T,
                          preferred_element_type=jnp.int32)
             return (hi.astype(jnp.float32) * scale[0][None, :]
@@ -1264,7 +1323,7 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
         packed, r_max = compact
         flat_slots = packed[0]
         flat_dest = packed[1]
-        flat_qcnt = jax.lax.bitcast_convert_type(packed[2], jnp.float32)
+        flat_qcnt = packed[2].astype(jnp.float32)
         P = post_ids.shape[1]
         g_ids = post_ids[flat_slots]                      # (nr, P)
         g_v = flat_qcnt[:, None] * post_w[flat_slots]
@@ -1400,7 +1459,7 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
                           "precision", "pallas_gather", "tf_from_sign",
                           "compact_rmax", "q_int8_ok", "fused_mm",
                           "cand_cap2", "cand_capH", "compactH_rmax",
-                          "pallas_gather_h"))
+                          "pallas_gather_h", "coarse"))
 def retrieve_topk_split_sparse(
     dense_impact, dense_presence, post_ids, post_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
@@ -1413,7 +1472,7 @@ def retrieve_topk_split_sparse(
     tailB_qcnt=None, tailB_slots2=None, tailB_qcnt2=None,
     cand_cap2: int = 0, tailH_rows=None, tailH_slots=None, tailH_qcnt=None,
     cand_capH: int = 0, compactH=None, compactH_rmax: int = 0,
-    pallas_gather_h: bool = False,
+    pallas_gather_h: bool = False, coarse: bool = False,
 ):
     """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
 
@@ -1445,7 +1504,8 @@ def retrieve_topk_split_sparse(
     K = dense_impact.shape[1]
     qvec, qpres = _densify_queries(fslots, fcnt, K)
     fused_bmax = None
-    if fused_mm and doc_mask is None and not approx and q_int8_ok:
+    if fused_mm and doc_mask is None and not approx and q_int8_ok \
+            and not coarse:
         # One-pass Pallas matmul with the leader-selection block maxima
         # computed in the epilogue — the separate (nq, D) reduce read
         # disappears. Bit-identical scores and maxima.
@@ -1456,7 +1516,8 @@ def retrieve_topk_split_sparse(
     else:
         scores = _impact_matmul(qvec, dense_impact, impact_lo, precision,
                                 scale=impact_scale,
-                                q_int8_ok=q_int8_ok)  # (nq, D_pad)
+                                q_int8_ok=q_int8_ok,
+                                coarse=coarse)  # (nq, D_pad)
     if doc_mask is not None:
         # Masked docs drop to -inf BEFORE leader selection and before the
         # sbase gather, so they can neither lead nor win via postings;

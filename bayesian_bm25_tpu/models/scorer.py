@@ -662,6 +662,7 @@ class BayesianBM25Scorer:
         explain: bool = False,
         approx: bool = False,
         doc_mask=None,
+        coarse: bool = False,
     ):
         """Top-k by BM25 score with calibrated probabilities.
 
@@ -669,6 +670,12 @@ class BayesianBM25Scorer:
         RetrievalResult with per-document traces when ``explain=True``.
         ``approx=True`` (TPU-native extension) selects lax.approx_max_k —
         ~0.95 recall at lower top-k latency; requires the split index.
+        ``coarse=True`` (TPU-native extension) is the rank-only fast
+        tier on int8 storage: the scoring matmul drops its lo-residual
+        pass (half the MXU work) at ~0.8% relative score error —
+        rankings approximately preserved, probabilities carry the same
+        error class. No-op under exact storage modes; composes with
+        ``approx``.
         ``doc_mask`` (TPU-native extension): a length-num_docs boolean
         array; False docs are excluded from selection entirely (serving
         tenant/metadata filters). Slots that cannot be filled from the
@@ -686,7 +693,7 @@ class BayesianBM25Scorer:
                 launched = []
                 for part in parts:
                     pn, ids_d, probs_d, _, _ = self._retrieve_launch(
-                        part, k, approx, doc_mask)
+                        part, k, approx, doc_mask, coarse=coarse)
                     launched.append(
                         (pn, scoring.pack_ids_probs(ids_d, probs_d)))
                 outs = [scoring.unpack_ids_probs(np.asarray(pk), pn)
@@ -694,7 +701,7 @@ class BayesianBM25Scorer:
                 return (np.concatenate([o[0] for o in outs]),
                         np.concatenate([o[1] for o in outs]))
         nq, top_ids, probs, top_scores, top_tfs = self._retrieve_launch(
-            query_tokens, k, approx, doc_mask)
+            query_tokens, k, approx, doc_mask, coarse=coarse)
         if not explain:
             # One packed device->host pull: transport cost is
             # per-transfer (pronounced through a TPU tunnel), so ids and
@@ -708,7 +715,7 @@ class BayesianBM25Scorer:
                                   np.asarray(top_tfs)[:nq])
 
     def retrieve_many(self, query_batches, k: int = 10,
-                      approx: bool = False):
+                      approx: bool = False, coarse: bool = False):
         """Steady-state pipelined serving: launch EVERY batch's encode +
         kernel before pulling any result, so host-side encoding and
         transfers overlap device compute (JAX dispatch is asynchronous).
@@ -724,7 +731,7 @@ class BayesianBM25Scorer:
             row = []
             for part in parts:
                 pn, top_ids, probs, _, _ = self._retrieve_launch(
-                    part, k, approx, None)
+                    part, k, approx, None, coarse=coarse)
                 row.append((pn, scoring.pack_ids_probs(top_ids, probs)))
             launched.append(row)
         # ONE device->host pull for the whole call: tunnel transfers are
@@ -757,7 +764,8 @@ class BayesianBM25Scorer:
         return out
 
     def retrieve_stream(self, query_batches, k: int = 10,
-                        approx: bool = False, lookahead: int = 4):
+                        approx: bool = False, lookahead: int = 4,
+                        coarse: bool = False):
         """Latency-shaped pipelined serving: a generator yielding each
         batch's (doc_ids, probabilities) as soon as it is pulled, while
         keeping up to ``lookahead`` batches launched ahead on the
@@ -782,7 +790,7 @@ class BayesianBM25Scorer:
             row = []
             for part in parts:
                 pn, top_ids, probs, _, _ = self._retrieve_launch(
-                    part, k, approx, None)
+                    part, k, approx, None, coarse=coarse)
                 row.append((pn, scoring.pack_ids_probs(top_ids, probs)))
             return row
 
@@ -861,7 +869,8 @@ class BayesianBM25Scorer:
         alive = ~self._deleted
         return alive if doc_mask is None else (doc_mask & alive)
 
-    def _retrieve_launch(self, query_tokens, k, approx, doc_mask):
+    def _retrieve_launch(self, query_tokens, k, approx, doc_mask,
+                         coarse: bool = False):
         """Encode + dispatch the retrieval kernel; returns device arrays
         (no host sync): (nq, top_ids, probs, top_scores, top_tfs)."""
         if self._transform is None:
@@ -906,13 +915,26 @@ class BayesianBM25Scorer:
                                              s, k_eff)
                       if sidx.LIGHT_HEAVY else None)
                 from bayesian_bm25_tpu.engine import pallas_gather as pg
+                # Every small host operand ships as ONE packed buffer
+                # (sidx.ship_arrays): the tunnel's per-transfer overhead
+                # and 2-D relayout path cost ~3x the bytes themselves
+                # (profiles/profile_h2d.py), so the encode grids, group
+                # splits, and compact arrays travel together and split
+                # back apart on device.
+                ship_np, ship_slot = [], {}
+
+                def _ship(name, arr):
+                    ship_slot[name] = len(ship_np)
+                    ship_np.append(arr)
+
                 h_kw = {}
+                h_static = {}
                 if lh is not None:
                     (trows, tslots, tqcnt), (hrows, hslots, hqcnt) = lh
-                    h_kw = dict(
-                        tailH_rows=jnp.asarray(hrows),
-                        tailH_slots=jnp.asarray(hslots),
-                        tailH_qcnt=jnp.asarray(hqcnt),
+                    _ship("tailH_rows", hrows)
+                    _ship("tailH_slots", hslots)
+                    _ship("tailH_qcnt", hqcnt)
+                    h_static = dict(
                         cand_capH=sidx.candidate_cap(s, hslots, k_eff),
                         pallas_gather_h=pg.eligible(
                             s.dense_impact.shape[0], len(hrows),
@@ -923,23 +945,24 @@ class BayesianBM25Scorer:
                         packedH, r_maxH = sidx.compact_tail_postings(
                             hslots, hqcnt, R)
                         if r_maxH < hslots.shape[1]:
-                            h_kw["compactH"] = jnp.asarray(packedH)
-                            h_kw["compactH_rmax"] = r_maxH
+                            _ship("compactH", packedH)
+                            h_static["compactH_rmax"] = r_maxH
                 cap = sidx.candidate_cap(s, tslots, k_eff)
                 b_kw = {}
+                b_static = {}
                 if grpB is not None:
                     trB, s1B, qcB, s2B, qc2B = grpB
                     b_kw = dict(
                         post2_ids=s.post2_doc_ids,
                         post2_w=s.post2_weights,
-                        tailB_rows=jnp.asarray(trB),
-                        tailB_slots=jnp.asarray(s1B),
-                        tailB_qcnt=jnp.asarray(qcB),
-                        tailB_slots2=jnp.asarray(s2B),
-                        tailB_qcnt2=jnp.asarray(qc2B),
-                        cand_cap2=sidx.candidate_cap2(
-                            s, s1B, s2B, k_eff),
                     )
+                    _ship("tailB_rows", trB)
+                    _ship("tailB_slots", s1B)
+                    _ship("tailB_qcnt", qcB)
+                    _ship("tailB_slots2", s2B)
+                    _ship("tailB_qcnt2", qc2B)
+                    b_static = dict(cand_cap2=sidx.candidate_cap2(
+                        s, s1B, s2B, k_eff))
                 use_pg = pg.eligible(
                     s.dense_impact.shape[0], len(trows),
                     masked=doc_mask is not None)
@@ -956,32 +979,49 @@ class BayesianBM25Scorer:
                 # Rank-packed candidate build: gathers only real
                 # postings rows and runs the whole merge at the packed
                 # width; engages when it actually narrows the layout.
-                comp, r_max = None, 0
+                r_max = 0
                 if sidx.PACKED_BUILD:
                     R = s.post_doc_ids.shape[0] - 1
                     packed, r_max = sidx.compact_tail_postings(
                         tslots, tqcnt, R)
                     if r_max < tslots.shape[1]:
-                        comp = jnp.asarray(packed)
+                        _ship("compact", packed)
                     else:
                         r_max = 0
+                for name, arr in (("fslots", fslots), ("fcnt", fcnt),
+                                  ("trows", trows), ("tslots", tslots),
+                                  ("tqcnt", tqcnt)):
+                    _ship(name, arr)
+                shipped = sidx.ship_arrays(ship_np)
+                dev = {name: shipped[i] for name, i in ship_slot.items()}
+                h_kw.update({k: dev[k] for k in
+                             ("tailH_rows", "tailH_slots", "tailH_qcnt")
+                             if k in dev})
+                if "compactH" in dev:
+                    h_kw["compactH"] = dev["compactH"]
+                h_kw.update(h_static)
+                b_kw.update({k: dev[k] for k in
+                             ("tailB_rows", "tailB_slots", "tailB_qcnt",
+                              "tailB_slots2", "tailB_qcnt2")
+                             if k in dev})
+                b_kw.update(b_static)
                 top_ids, probs, top_scores, top_tfs = (
                     sidx.retrieve_topk_split_sparse(
                         s.dense_impact, s.dense_presence, s.post_doc_ids,
                         s.post_weights, idx.doc_lengths, idx.avgdl,
-                        jnp.asarray(fslots), jnp.asarray(fcnt),
-                        jnp.asarray(trows), jnp.asarray(tslots),
-                        jnp.asarray(tqcnt), k_eff, cap,
+                        dev["fslots"], dev["fcnt"],
+                        dev["trows"], dev["tslots"],
+                        dev["tqcnt"], k_eff, cap,
                         t.alpha, t.beta, t.base_rate, n_docs=idx.n_docs,
                         prior_free=t._training_mode == "prior_free",
                         approx=approx, precision=self._matmul_precision,
                         doc_mask=doc_mask, impact_lo=s.dense_impact_lo,
                         pallas_gather=use_pg,
                         tf_from_sign=s.post_w_positive,
-                        compact=comp, compact_rmax=r_max,
+                        compact=dev.get("compact"), compact_rmax=r_max,
                         impact_scale=s.impact_scale,
                         q_int8_ok=sidx._q_int8_ok(s, fcnt),
-                        fused_mm=use_fmm,
+                        fused_mm=use_fmm, coarse=coarse,
                         **b_kw, **h_kw,
                     )
                 )

@@ -61,6 +61,24 @@ TF_REF_CELLS = 8192 * 10
 # + doc-length f32 (parallel/sharded.py all_gather operands).
 MERGE_BYTES_PER_CAND = 16
 
+# Wide merge passes (light/heavy heavy pass, tier-2 pass) are dominated
+# by the sbase row-gather from the (nq, D) score matrix. Calibrated at
+# the round-5 1M-doc stage ablation (BENCHMARK_RESULTS.md: tier-2 merge
+# 56.9 ms at ntB=256 x cap2=8202 -> 27.1 ns/element; the heavy pass at
+# 256 x 2058 measured 12.3 ms, within ~2x of the pure-gather term —
+# fixed sort/dispatch costs dominate as caps narrow).
+SBASE_GATHER_S_PER_ELEM = 56.9e-3 / (256 * 8202)
+
+
+def merge_pass_cost(n_rows: int, cand_cap: int,
+                    n_shards: int = 1, k: int = 10) -> float:
+    """Seconds for one extra sparse-merge pass (heavy or tier-2) over
+    ``n_rows`` tail rows at candidate width ``cand_cap``; per-shard
+    postings df (and so the cap beyond the k leaders) shrinks ~1/S on
+    a doc-sharded mesh, mirroring sharded_candidate_cap."""
+    local_cap = k + max((cand_cap - k) // max(n_shards, 1), 1)
+    return n_rows * local_cap * SBASE_GATHER_S_PER_ELEM
+
 
 @dataclass
 class StageCosts:
@@ -106,6 +124,7 @@ def retrieval_cost(
     tail_row_frac: float = 0.5,
     cand_cap: int = 266,
     peak_flops: float = PEAK_BF16_FLOPS,
+    extra_passes: tuple = (),
 ) -> StageCosts:
     """Model one sparse-retrieval batch on an S-shard 1-D ('d',) mesh.
 
@@ -120,6 +139,13 @@ def retrieval_cost(
     tail_row_frac: fraction of queries with >= 1 rare term (measured
     ~0.5 on the Zipf serving corpus); cand_cap: host-computed candidate
     cap at the 50k reference workload.
+
+    ``extra_passes``: ((n_rows, cand_cap), ...) — the light/heavy HEAVY
+    pass and the width-capped TIER-2 pass, costed by
+    :func:`merge_pass_cost` (sbase-gather-bound; per-shard caps shrink
+    ~1/S like the primary merge). E.g. the measured 1M-doc serving
+    config is extra_passes=((256, 2058), (256, 8202)) per 1024-query
+    chunk.
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
@@ -141,6 +167,8 @@ def retrieval_cost(
     local_cap = k + max((cand_cap - k) // n_shards, 1)
     merge_cells = (nq * tail_row_frac) * local_cap
     t_merge = MERGE_REF_S * merge_cells / MERGE_REF_CELLS
+    for rows, cap_x in extra_passes:
+        t_merge += merge_pass_cost(rows, cap_x, n_shards, k)
     t_tf = TF_REF_S * (nq * local_k) / TF_REF_CELLS
 
     if n_shards == 1:

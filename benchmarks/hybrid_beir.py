@@ -79,7 +79,7 @@ CALIBRATION_METHODS = [
     "Bayesian-Vector-Balanced", "Bayesian-Vector-Softplus",
     "Bayesian-Vector-Attn",
     "VPT-DensityPrior", "VPT-BM25Weights",
-    "VPT-BW-0.2", "VPT-BW-0.5", "VPT-BW-1.0",
+    "VPT-BW-0.2", "VPT-BW-0.5", "VPT-BW-1.0", "VPT-BW-2.0",
     "Dense-Kappa", "Dense-Platt",
 ]
 
@@ -96,6 +96,46 @@ def _rank_of(scores: np.ndarray) -> np.ndarray:
     ranks = np.empty_like(order)
     ranks[order] = np.arange(len(scores))
     return ranks
+
+
+def _logit_clip(p: np.ndarray, max_logit: float) -> np.ndarray:
+    p = np.clip(np.asarray(p, dtype=np.float64), 1e-10, 1 - 1e-10)
+    return np.clip(np.log(p / (1 - p)), -max_logit, max_logit)
+
+
+def _fusion_vpt_balanced(sparse_probs, vpt_dense_probs,
+                         max_logit: float = 12.0) -> np.ndarray:
+    """Additive log-odds fusion of lexical evidence with VPT-calibrated
+    dense evidence, the reference's VPT-method fusion
+    (hybrid_beir.py:812-842): clipped logits, dense arm scaled down to
+    the sparse arm's logit spread when wider, summed, re-sigmoided."""
+    ls = _logit_clip(sparse_probs, max_logit)
+    ld = _logit_clip(vpt_dense_probs, max_logit)
+    s_std = max(float(np.std(ls)), 1e-6)
+    d_std = max(float(np.std(ld)), 1e-6)
+    fused = ls + min(1.0, s_std / d_std) * ld
+    return 1.0 / (1.0 + np.exp(-np.clip(fused, -max_logit, max_logit)))
+
+
+def _vpt_sample_guidance(lex_probs, lex_active, density_prior=None,
+                         *, neutral: float = 0.5, floor: float = 0.5,
+                         max_logit: float = 10.0) -> np.ndarray:
+    """Blended VPT sample guidance (reference hybrid_beir.py:478-530):
+    missing lexical evidence is neutral (0.5), active evidence is
+    floored at 0.5, and an IVF density prior (when present) blends in
+    logit space with a lexical mix growing with the active ratio."""
+    lex_probs = np.asarray(lex_probs, dtype=np.float64)
+    lex_active = np.asarray(lex_active, dtype=bool)
+    guidance = np.full(len(lex_probs), neutral, dtype=np.float64)
+    if lex_active.any():
+        guidance[lex_active] = np.maximum(lex_probs[lex_active], floor)
+    if density_prior is None:
+        return guidance
+    active_ratio = float(np.mean(lex_active)) if len(guidance) else 0.0
+    mix = float(np.clip(0.35 + 0.5 * active_ratio, 0.35, 0.85))
+    blended = (mix * _logit_clip(guidance, max_logit)
+               + (1.0 - mix) * _logit_clip(density_prior, max_logit))
+    return 1.0 / (1.0 + np.exp(-np.clip(blended, -max_logit, max_logit)))
 
 
 def _query_features_basic(q_tokens, bm25_union_scores):
@@ -147,6 +187,14 @@ def run_dataset(
 
     def want(name: str) -> bool:
         return methods is None or any(m in name for m in methods)
+
+    def want_family(prefix: str) -> bool:
+        # True when any REQUESTED method name carries this prefix —
+        # gates shared computation (e.g. the per-query VPT fits) that
+        # several full method names consume. `want` alone fails here:
+        # a full-name filter like "VPT-BM25Weights" is not a substring
+        # of the short family name "VPT".
+        return methods is None or any(prefix in m for m in methods)
 
     def log(msg):
         if verbose:
@@ -329,10 +377,13 @@ def run_dataset(
         add("Bayesian-LogOdds-BR", qid, union,
             np.asarray(log_odds_conjunction(pair_br, alpha=0.5)))
 
-        # Balanced family
+        # Balanced family (mixture/elbow scorers may be skipped when a
+        # filtered method list never asks for them)
         for name, key in (("Bayesian-Balanced", "auto"),
                           ("Bayesian-Balanced-Mix", "mixture"),
                           ("Bayesian-Balanced-Elbow", "elbow")):
+            if key not in u_probs:
+                continue
             add(name, qid, union, np.asarray(
                 balanced_log_odds_fusion(
                     np.clip(u_probs[key], 1e-10, 1 - 1e-10), u_dsim, 0.5)))
@@ -361,7 +412,18 @@ def run_dataset(
         # Only the VPT family and Vector-* fusions (incl. Vector-Attn,
         # which trains on vpt_pair) need the per-query KDE fits — the
         # plain attention/multi-head methods train on `pair`.
-        need_vpt = want("VPT") or want("Vector")
+        # VPT protocol (reference hybrid_beir.py:1888-2033): background
+        # from full dense scores (or IVF residuals); the f_R SAMPLE is
+        # the dense top-R candidate list; eval points are the union.
+        # Each VPT method forces its estimator path — BM25Weights pins
+        # KDE with sharpened lexical-only weights, DensityPrior pins GMM
+        # with structural weights — and reports the ADDITIVE LOG-ODDS
+        # fusion with the base-rate lexical probabilities
+        # (fusion_vpt_balanced), not the raw dense calibration. Routing
+        # both through method="auto" (the pre-round-5 behavior) let gap
+        # detection override the guidance and collapsed every VPT
+        # variant onto one estimate.
+        need_vpt = want_family("VPT") or want_family("Vector")
         if need_vpt:
             if ivf is not None:
                 bg = ivf.background_distances
@@ -369,33 +431,60 @@ def run_dataset(
                 bg = 1.0 - dsim
             vpt = VectorProbabilityTransform.fit_background(np.asarray(bg))
             u_dist = 1.0 - u_dsim
-            guidance = np.clip(u_probs["auto"], 0.0, 1.0)
+            s_idx = dense_top
+            s_dist = 1.0 - dsim[s_idx]
+            s_lex_probs = probs_all["auto"][qi][s_idx]
+            s_active = bs[s_idx] > 0
+            s_density_prior = None
+            if ivf is not None:
+                cells_s = ivf.assignments[s_idx]
+                s_density_prior = np.asarray(ivf_density_prior(
+                    ivf.cell_populations[cells_s], ivf.avg_population))
+            guidance = _vpt_sample_guidance(
+                s_lex_probs, s_active, s_density_prior)
             vpt_probs = np.asarray(vpt.calibrate_with_sample(
-                u_dist, u_dist, weights=guidance))
+                u_dist, s_dist, weights=guidance))
         else:
             vpt_probs = u_dense_prob  # placeholder; consumers filtered out
-        add("VPT-BM25Weights", qid, union, vpt_probs)
 
-        # Bandwidth ablation variants (reference README bandwidth table):
-        # Silverman factor sweep on the BM25-weighted KDE calibration.
-        if need_vpt and want("VPT-BW"):
-            for bw in (0.2, 0.5, 1.0):
+        if need_vpt and want("VPT-BM25Weights"):
+            # CI-violating cross-modal estimator: lexical-only weights
+            # (zero where BM25 is silent), sharpened, forced KDE.
+            w_bm25 = np.where(s_active, s_lex_probs, 0.0)
+            vpt_bm25 = np.asarray(vpt.calibrate_with_sample(
+                u_dist, s_dist,
+                weights=np.asarray(vpt._sharpen_weights(w_bm25)),
+                method="kde"))
+            add("VPT-BM25Weights", qid, union,
+                _fusion_vpt_balanced(u_probs["auto"], vpt_bm25))
+
+        # Bandwidth ablation variants (reference README bandwidth table,
+        # README.md:566-569: "the KDE estimation with BM25 importance
+        # weights" — the Silverman factor c sweeps the BM25-weighted
+        # KDE estimator, the rank-changing f_R).
+        if need_vpt and want_family("VPT-BW"):
+            w_bw = np.asarray(vpt._sharpen_weights(
+                np.where(s_active, s_lex_probs, 0.0)))
+            for bw in (0.2, 0.5, 1.0, 2.0):
                 vpt_bw = np.asarray(vpt.calibrate_with_sample(
-                    u_dist, u_dist, weights=guidance, bandwidth_factor=bw))
-                add(f"VPT-BW-{bw}", qid, union, vpt_bw)
+                    u_dist, s_dist, weights=w_bw, method="kde",
+                    bandwidth_factor=bw))
+                add(f"VPT-BW-{bw}", qid, union,
+                    _fusion_vpt_balanced(u_probs["auto"], vpt_bw))
 
         if need_vpt and want("VPT-DensityPrior"):
-            if ivf is not None:
-                cell_ids = ivf.assignments[union]
-                prior = np.asarray(ivf_density_prior(
-                    ivf.cell_populations[cell_ids], ivf.avg_population))
-                vpt_dp = np.asarray(vpt.calibrate_with_sample(
-                    u_dist, u_dist, density_prior=prior))
+            # CI-compliant structural estimator: density-only weights,
+            # forced GMM (never sees the lexical signal).
+            if s_density_prior is not None:
+                w_dp = s_density_prior
             else:
-                fallback = np.asarray(vpt._distance_density_weights(u_dist))
-                vpt_dp = np.asarray(vpt.calibrate_with_sample(
-                    u_dist, u_dist, density_prior=fallback))
-            add("VPT-DensityPrior", qid, union, vpt_dp)
+                gap_w = vpt._gap_weights(s_dist)
+                w_dp = (gap_w if gap_w is not None else
+                        np.asarray(vpt._distance_density_weights(s_dist)))
+            vpt_dp = np.asarray(vpt.calibrate_with_sample(
+                u_dist, s_dist, weights=w_dp, method="gmm"))
+            add("VPT-DensityPrior", qid, union,
+                _fusion_vpt_balanced(u_probs["auto"], vpt_dp))
 
         # Optional per-query separability gating (hybrid_beir.py:1928-1963):
         # blend the VPT-calibrated dense signal with the global kappa
@@ -419,17 +508,18 @@ def run_dataset(
                     np.clip(u_probs["auto"], 1e-10, 1 - 1e-10),
                     2 * np.clip(gated, 1e-10, 1 - 1e-10) - 1, 0.5)))
 
-        # Vector-calibrated fusion
+        # Vector-calibrated fusion (reference hybrid_beir.py:1953-1969):
+        # additive log-odds of the base-rate lexical probs with the
+        # auto-routed VPT dense calibration.
         vpt_pair = np.column_stack([
             np.clip(u_probs["auto"], 1e-10, 1 - 1e-10),
             np.clip(vpt_probs, 1e-10, 1 - 1e-10),
         ])
-        add("Bayesian-Vector-Balanced", qid, union, np.asarray(
-            balanced_log_odds_fusion(vpt_pair[:, 0], 2 * vpt_pair[:, 1] - 1,
-                                     0.5)))
+        add("Bayesian-Vector-Balanced", qid, union,
+            _fusion_vpt_balanced(u_probs["auto"], vpt_probs))
         add("Bayesian-Vector-Softplus", qid, union, np.asarray(
             log_odds_conjunction(vpt_pair, alpha=0.5, gating="softplus",
-                                 max_logit=12.0)))
+                                 max_logit=10.0)))
 
         # Multi-field
         if mf is not None:

@@ -38,6 +38,18 @@ GATE_PAIRS = [
     ("RRF", "BM25"),
     ("Bayesian-Balanced", "Dense"),
 ]
+# --regimes: the attention win condition at scale (round-4 VERDICT
+# weak #4): on the hard family with per-query reliability regimes
+# (noise_regimes=True — the regime is recoverable from the harness's
+# rich query features), learned per-query weighting must beat the
+# fixed Balanced weight, the reference's Attn-Norm-best-zero-shot
+# headline (README.md:433) as a statistical invariant.
+REGIME_GATE_PAIRS = [
+    ("Bayesian-Attn-Norm", "Bayesian-Balanced"),
+    ("Bayesian-MultiHead-Norm", "Bayesian-Balanced"),
+    ("Bayesian-Balanced", "RRF"),
+    ("Bayesian-Balanced", "Dense"),
+]
 
 
 def main():
@@ -49,6 +61,9 @@ def main():
     ap.add_argument("-R", type=int, default=1000)
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("-o", "--output", default=None)
+    ap.add_argument("--regimes", action="store_true",
+                    help="per-query reliability regimes: gate the "
+                         "attention-family win (Attn-Norm > Balanced)")
     args = ap.parse_args()
 
     if args.device == "cpu":
@@ -59,11 +74,14 @@ def main():
     from benchmarks.hybrid_beir import run_dataset
     from benchmarks.utils import synthetic_dataset_hard
 
+    gate_pairs = REGIME_GATE_PAIRS if args.regimes else GATE_PAIRS
     per_method: dict[str, list[float]] = {}
     for seed in args.seeds:
         ds = synthetic_dataset_hard(
             n_docs=args.docs, n_queries=args.queries, seed=seed,
-            name=f"synthetic-hard-s{seed}")
+            noise_regimes=args.regimes,
+            name=f"synthetic-hard{'-regime' if args.regimes else ''}"
+                 f"-s{seed}")
         res = run_dataset(ds, k=args.k, R=args.R, methods=GATE_METHODS,
                           verbose=False)
         print(f"seed {seed}:")
@@ -86,7 +104,7 @@ def main():
 
     gates = []
     ok = True
-    for win, lose in GATE_PAIRS:
+    for win, lose in gate_pairs:
         w, l = stats.get(win), stats.get(lose)
         if w is None or l is None:
             gates.append({"pair": [win, lose], "ok": False,
@@ -109,7 +127,8 @@ def main():
         print(f"  [{mark}] {g['pair'][0]} > {g['pair'][1]}{extra}")
     out = {"stats": stats, "gates": gates, "ok": ok,
            "config": {"docs": args.docs, "queries": args.queries,
-                      "seeds": args.seeds, "R": args.R, "k": args.k}}
+                      "seeds": args.seeds, "R": args.R, "k": args.k,
+                      "regimes": args.regimes}}
     if args.output:
         with open(args.output, "w") as f:
             json.dump(out, f, indent=2)

@@ -288,6 +288,41 @@ class TestHardFamilyOrderingGate:
         assert n["Bayesian-Balanced"] < 0.95, n
 
 
+class TestVPTDiscriminativeGate:
+    """VPT-discriminative regime (round-4 VERDICT next #4): on the
+    decoy-cluster family the BM25-weighted likelihood-ratio calibration
+    must CHANGE rankings — re-rank past the lexical ceiling and beat
+    the CI-compliant density-prior estimator (reference CI-penalty
+    claim, /root/reference/README.md:557-558). The statistically gated
+    3-seed study at 6k docs runs via benchmarks/vpt_ordering_study.py
+    (artifact benchmarks/results/vpt_gate.json); this pins one seed at
+    CI scale."""
+
+    def test_vpt_gate_one_seed(self):
+        from benchmarks.hybrid_beir import run_dataset
+        from benchmarks.utils import synthetic_dataset_vpt
+
+        ds = synthetic_dataset_vpt(n_docs=2000, n_queries=32,
+                                   n_topics=16, seed=7, name="vpt-ci")
+        res = run_dataset(
+            ds, k=10, R=500, verbose=False,
+            methods=["BM25", "Bayesian-Balanced",
+                     "Bayesian-Vector-Balanced",
+                     "VPT-BM25Weights", "VPT-DensityPrior"])
+        n = {m: res[m]["ndcg@10"] for m in
+             ("BM25", "Bayesian-Balanced", "Bayesian-Vector-Balanced",
+              "VPT-BM25Weights", "VPT-DensityPrior")}
+        # the likelihood ratio genuinely re-ranks: clears the lexical
+        # ceiling (the blind-paraphrase rescue) by a wide margin
+        assert n["VPT-BM25Weights"] > n["Bayesian-Balanced"] + 0.15, n
+        assert n["VPT-BM25Weights"] > n["VPT-DensityPrior"] + 0.15, n
+        # (the Vector-Balanced != Balanced discrimination assert runs
+        # in the 3-seed study — benchmarks/vpt_ordering_study.py,
+        # artifact benchmarks/results/vpt_gate.json — where the NDCG
+        # difference is resolvable; at this reduced CI scale the two
+        # can tie on the metric without tying on rankings)
+
+
 class TestMiniBeirFrozenScores:
     """Frozen per-method NDCG@5 on the checked-in mini BEIR fixture
     (VERDICT round-2 missing item 1): any divisor/seed/kernel change

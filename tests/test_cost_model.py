@@ -86,3 +86,39 @@ class TestShardedPredictions:
         with pytest.raises(ValueError):
             # 64 shards of 640 docs cannot each return 1000 candidates
             cm.retrieval_cost(51200, n_shards=64, local_k=1000)
+
+
+class TestExtraMergePasses:
+    """Tier-2 / heavy merge-pass rows (round-5): the model's
+    sbase-gather term must reproduce the measured 1M-doc stage times
+    (BENCHMARK_RESULTS.md round-5 ablation) and shrink ~1/S on a
+    doc-sharded mesh like the primary merge cap."""
+
+    def test_tier2_pass_matches_measurement(self):
+        # calibration point: 256 rows x cap 8202 = 56.9 ms
+        t = cm.merge_pass_cost(256, 8202)
+        assert abs(t - 56.9e-3) / 56.9e-3 < 0.01
+
+    def test_heavy_pass_order_of_magnitude(self):
+        # measured 12.3 ms at 256 x 2058; the pure-gather term
+        # underestimates narrow passes (fixed sort/dispatch) — within 2x
+        t = cm.merge_pass_cost(256, 2058)
+        assert 6e-3 < t < 16e-3, t
+
+    def test_sharding_shrinks_extra_passes(self):
+        c1 = cm.retrieval_cost(
+            1_000_000, nq=1024, K=1024, cand_cap=138,
+            extra_passes=((256, 2058), (256, 8202)))
+        c8 = cm.retrieval_cost(
+            1_000_000, nq=1024, K=1024, cand_cap=138, n_shards=8,
+            extra_passes=((256, 2058), (256, 8202)))
+        assert c1.merge > c8.merge * 4  # caps shrink ~1/S
+        assert c1.total > c8.total
+
+    def test_1m_serving_total_in_band(self):
+        """The modeled 1M single-chip chunk time lands in the measured
+        ~115-155 ms band (BENCHMARK_RESULTS round-5: ~122 ms/chunk)."""
+        c = cm.retrieval_cost(
+            1_000_000, nq=1024, K=1024, cand_cap=138,
+            extra_passes=((256, 2058), (256, 8202)))
+        assert 0.08 < c.total < 0.18, c.total

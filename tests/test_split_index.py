@@ -244,7 +244,9 @@ class TestCompactBuild:
                         np.float32)
         packed, r_max = sidx.compact_tail_postings(tslots, qcnt, R=9)
         fs, fd = packed[0], packed[1]
-        fq = packed[2].view(np.float32)
+        # counts travel as plain int32 (widened to f32 on device) so the
+        # whole batch can pack into one int16 ship_arrays buffer
+        fq = packed[2].astype(np.float32)
         assert r_max == 2  # row 2 has two real terms
         assert len(fs) == 64  # pow2 bucket floor
         np.testing.assert_array_equal(fs[:3], [3, 0, 1])
@@ -369,3 +371,35 @@ class TestLeanWinnerTf:
             overflow=None, doc_mask=jnp.asarray(mask))
         ids = np.asarray(out[0])
         assert (mask[ids[ids >= 0]]).all()
+
+
+class TestShipArrays:
+    """ship_arrays: the packed one-buffer host->device transfer must
+    reconstruct every operand exactly (shapes, dtypes, values) for both
+    the int16 fast path and the int32 fallback."""
+
+    def test_int16_pack_roundtrip(self):
+        rng = np.random.default_rng(0)
+        arrs = [
+            rng.integers(-2, 2000, size=(16, 8)).astype(np.int32),
+            rng.integers(0, 9, size=(16, 8)).astype(np.float32),
+            rng.integers(0, 16, size=(4,)).astype(np.int32),
+            np.array([[-2, 31000], [7, -1]], np.int32),
+            rng.integers(0, 5, size=(4, 2)).astype(np.float32),
+        ]
+        out = sidx.ship_arrays(arrs)
+        assert len(out) == len(arrs)
+        for a, o in zip(arrs, out):
+            assert np.asarray(o).dtype == a.dtype
+            np.testing.assert_array_equal(np.asarray(o), a)
+
+    def test_int32_fallback(self):
+        # a value beyond int16 forces the int32 buffer
+        arrs = [np.array([1, 70000, -3], np.int32),
+                np.array([[2.0, 40000.0]], np.float32)]
+        out = sidx.ship_arrays(arrs)
+        np.testing.assert_array_equal(np.asarray(out[0]), arrs[0])
+        np.testing.assert_array_equal(np.asarray(out[1]), arrs[1])
+
+    def test_empty_list(self):
+        assert sidx.ship_arrays([]) == ()
