@@ -65,6 +65,10 @@ FUSED_MM = False
 LIGHT_HEAVY = True
 _LH_MIN_SAVE = 1_000_000   # min gathered-element savings to engage
 _LH_MIN_RATIO = 2.0        # min (no-split / split) element ratio
+# Tier-2 (group B) cap split: B groups are small (hundreds of rows) but
+# run at the widest caps in the kernel, so the savings floor is lower.
+_LHB_MIN_SAVE = 250_000
+_LHB_MIN_RATIO = 1.3
 
 
 @dataclass
@@ -686,6 +690,75 @@ def split_light_heavy(tail_rows, tail_slots, tail_qcnt,
         return rows, slots, qcnt
 
     return group(li, 16), group(hi, 16)
+
+
+def split_light_heavy_b(tailB_rows, tailB_slots, tailB_qcnt,
+                        tailB_slots2, tailB_qcnt2,
+                        split: SplitBM25Index, k: int):
+    """Light/heavy cap split of the TIER-2 group (group B), by combined
+    tier-1 + tier-2 postings totals.
+
+    The round-5 1M stage ablation made the tier-2 merge the dominant
+    stage (56.9 ms of ~122 ms/chunk): its sbase gather runs at
+    ``cand_cap2`` = k + pow2(max combined df total), and one row
+    carrying two heavy tier-2 terms widens every B row. Same cost
+    model as :func:`split_light_heavy` (gathered elements =
+    rows x cap, pow2-bucketed as compiled); engages at a lower
+    absolute-savings floor because B groups are small (hundreds of
+    rows) while per-element cost is the same ~27 ns gather.
+
+    Returns None, or (light, heavy) where each is (rows, slots1,
+    qcnt1, slots2, qcnt2) padded to a pow2 row count (min 8, like the
+    grpB bucketing). Per-group caps come from :func:`candidate_cap2`
+    on the returned slot grids.
+    """
+    s1 = np.asarray(tailB_slots)
+    s2 = np.asarray(tailB_slots2)
+    c1 = np.asarray(tailB_qcnt)
+    c2 = np.asarray(tailB_qcnt2)
+    tr = np.asarray(tailB_rows)
+    nt = s1.shape[0]
+    tot = (split.rare_df[s1].sum(axis=1)
+           + split.rare2_df[s2].sum(axis=1))
+    cap_full = k + _pow2_bucket(max(int(tot.max()), 1), 16)
+    base_cost = nt * cap_full
+    best = None
+    c = 16
+    while k + 2 * c < cap_full:
+        light = tot <= c
+        n_light = int(light.sum())
+        n_heavy = nt - n_light
+        if n_heavy == 0:
+            break
+        if n_light:
+            cost = (_pow2_bucket(n_light, 8) * (k + c)
+                    + _pow2_bucket(n_heavy, 8) * cap_full)
+            if best is None or cost < best[0]:
+                best = (cost, light)
+        c *= 2
+    if (best is None or base_cost - best[0] < _LHB_MIN_SAVE
+            or base_cost < _LHB_MIN_RATIO * best[0]):
+        return None
+    light = best[1]
+    li = np.nonzero(light)[0]
+    hi = np.nonzero(~light)[0]
+    R1 = split.post_doc_ids.shape[0] - 1
+    R2 = split.post2_doc_ids.shape[0] - 1
+
+    def group(idx):
+        n_pad = _pow2_bucket(max(len(idx), 1), 8)
+
+        def take(grid, fill):
+            out = np.full((n_pad, grid.shape[1]), fill, grid.dtype)
+            out[: len(idx)] = grid[idx]
+            return out
+
+        rows = np.zeros(n_pad, dtype=np.int32)
+        rows[: len(idx)] = tr[idx]
+        return (rows, take(s1, R1), take(c1, 0.0),
+                take(s2, R2), take(c2, 0.0))
+
+    return group(li), group(hi)
 
 
 def candidate_cap2(split: SplitBM25Index, tail_slots1: np.ndarray,
@@ -1459,7 +1532,7 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
                           "precision", "pallas_gather", "tf_from_sign",
                           "compact_rmax", "q_int8_ok", "fused_mm",
                           "cand_cap2", "cand_capH", "compactH_rmax",
-                          "pallas_gather_h", "coarse"))
+                          "pallas_gather_h", "coarse", "cand_cap2H"))
 def retrieve_topk_split_sparse(
     dense_impact, dense_presence, post_ids, post_w, doc_lengths, avgdl,
     fslots, fcnt, tail_rows, tail_slots, tail_qcnt, k: int, cand_cap: int,
@@ -1473,6 +1546,8 @@ def retrieve_topk_split_sparse(
     cand_cap2: int = 0, tailH_rows=None, tailH_slots=None, tailH_qcnt=None,
     cand_capH: int = 0, compactH=None, compactH_rmax: int = 0,
     pallas_gather_h: bool = False, coarse: bool = False,
+    tailB2_rows=None, tailB2_slots=None, tailB2_qcnt=None,
+    tailB2_slots2=None, tailB2_qcnt2=None, cand_cap2H: int = 0,
 ):
     """Sparse-candidate exact top-k: one MXU matmul + rare postings merge.
 
@@ -1573,6 +1648,19 @@ def retrieve_topk_split_sparse(
             pallas_gather=False, tf_from_sign=tf_from_sign,
             postings2=(post2_ids, post2_w, tailB_slots2, tailB_qcnt2),
             pad_row_mask=jnp.all(tailB_slots2 >= R2, axis=1),
+            base_tail_tf=out_tail_tf)
+
+    if tailB2_rows is not None:
+        # Heavy tier-2 pass (group-B cap split): the few B rows whose
+        # combined tier-1+2 postings totals dominate the batch merge at
+        # their own wide cap, so the light B pass above ran narrow.
+        R2 = post2_ids.shape[0] - 1
+        out_ids, out_scores, out_tail_tf = _sparse_merge(
+            scores, out_scores, out_ids, post_ids, post_w,
+            tailB2_rows, tailB2_slots, tailB2_qcnt, k, cand_cap2H,
+            n_docs, pallas_gather=False, tf_from_sign=tf_from_sign,
+            postings2=(post2_ids, post2_w, tailB2_slots2, tailB2_qcnt2),
+            pad_row_mask=jnp.all(tailB2_slots2 >= R2, axis=1),
             base_tail_tf=out_tail_tf)
 
     dead = ~jnp.isfinite(out_scores)

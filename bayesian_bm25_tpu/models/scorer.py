@@ -952,17 +952,34 @@ class BayesianBM25Scorer:
                 b_static = {}
                 if grpB is not None:
                     trB, s1B, qcB, s2B, qc2B = grpB
+                    # Group-B cap split: the tier-2 merge's sbase
+                    # gather dominates 1M-doc chunks (56.9 ms round-5
+                    # ablation); splitting B by combined df totals runs
+                    # the common rows at a narrow cap.
+                    lhb = (sidx.split_light_heavy_b(
+                        trB, s1B, qcB, s2B, qc2B, s, k_eff)
+                        if sidx.LIGHT_HEAVY else None)
                     b_kw = dict(
                         post2_ids=s.post2_doc_ids,
                         post2_w=s.post2_weights,
                     )
+                    if lhb is not None:
+                        (trB, s1B, qcB, s2B, qc2B), \
+                            (trB2, s1B2, qcB2, s2B2, qc2B2) = lhb
+                        _ship("tailB2_rows", trB2)
+                        _ship("tailB2_slots", s1B2)
+                        _ship("tailB2_qcnt", qcB2)
+                        _ship("tailB2_slots2", s2B2)
+                        _ship("tailB2_qcnt2", qc2B2)
+                        b_static["cand_cap2H"] = sidx.candidate_cap2(
+                            s, s1B2, s2B2, k_eff)
                     _ship("tailB_rows", trB)
                     _ship("tailB_slots", s1B)
                     _ship("tailB_qcnt", qcB)
                     _ship("tailB_slots2", s2B)
                     _ship("tailB_qcnt2", qc2B)
-                    b_static = dict(cand_cap2=sidx.candidate_cap2(
-                        s, s1B, s2B, k_eff))
+                    b_static["cand_cap2"] = sidx.candidate_cap2(
+                        s, s1B, s2B, k_eff)
                 use_pg = pg.eligible(
                     s.dense_impact.shape[0], len(trows),
                     masked=doc_mask is not None)
@@ -1002,7 +1019,10 @@ class BayesianBM25Scorer:
                 h_kw.update(h_static)
                 b_kw.update({k: dev[k] for k in
                              ("tailB_rows", "tailB_slots", "tailB_qcnt",
-                              "tailB_slots2", "tailB_qcnt2")
+                              "tailB_slots2", "tailB_qcnt2",
+                              "tailB2_rows", "tailB2_slots",
+                              "tailB2_qcnt", "tailB2_slots2",
+                              "tailB2_qcnt2")
                              if k in dev})
                 b_kw.update(b_static)
                 top_ids, probs, top_scores, top_tfs = (

@@ -186,14 +186,21 @@ def run_dataset(
     rng = np.random.default_rng(seed)
 
     def want(name: str) -> bool:
-        return methods is None or any(m in name for m in methods)
+        # Symmetric containment: a gate name matches when a filter is a
+        # substring of it (add-site full names vs short filters like
+        # "Balanced") OR it is a substring of a filter (family gates
+        # like want("Attn") / want("VPT") vs full-name filters like
+        # "Bayesian-Attn-Norm"). Asymmetric matching silently skipped
+        # the attention-training / VPT-fit stages when callers filtered
+        # by full method names. Over-inclusion (e.g. "BM25" matching a
+        # "VPT-BM25Weights" filter) only computes a cheap extra method.
+        return methods is None or any(
+            m in name or name in m for m in methods)
 
     def want_family(prefix: str) -> bool:
-        # True when any REQUESTED method name carries this prefix —
-        # gates shared computation (e.g. the per-query VPT fits) that
-        # several full method names consume. `want` alone fails here:
-        # a full-name filter like "VPT-BM25Weights" is not a substring
-        # of the short family name "VPT".
+        # Kept for call-site clarity: gates shared computation that
+        # several full method names consume; equivalent to the
+        # name-in-filter half of `want`.
         return methods is None or any(prefix in m for m in methods)
 
     def log(msg):

@@ -288,6 +288,33 @@ class TestHardFamilyOrderingGate:
         assert n["Bayesian-Balanced"] < 0.95, n
 
 
+class TestHardRegimeAttentionGate:
+    """Attention win at scale (round-4 VERDICT next #5): on the hard
+    family with per-query reliability regimes, learned per-query
+    weighting must beat the fixed Balanced weight. The statistically
+    gated 3-seed study at 10k docs runs via
+    `benchmarks/ordering_study.py --regimes` (artifact
+    benchmarks/results/attn_gate.json); this pins one seed at CI
+    scale."""
+
+    def test_attn_beats_balanced_at_scale(self):
+        from benchmarks.hybrid_beir import run_dataset
+        from benchmarks.utils import synthetic_dataset_hard
+
+        ds = synthetic_dataset_hard(n_docs=2500, n_queries=64,
+                                    n_topics=30, seed=7,
+                                    noise_regimes=True,
+                                    name="hard-regime-ci")
+        res = run_dataset(ds, k=10, R=300, verbose=False,
+                          methods=["BM25", "Dense", "Balanced",
+                                   "Attn-Norm", "MultiHead-Norm"])
+        best_attn = max(res[n]["ndcg@10"] for n in
+                        ("Bayesian-Attn-Norm", "Bayesian-MultiHead-Norm")
+                        if n in res)
+        bal = res["Bayesian-Balanced"]["ndcg@10"]
+        assert best_attn > bal, (best_attn, bal)
+
+
 class TestVPTDiscriminativeGate:
     """VPT-discriminative regime (round-4 VERDICT next #4): on the
     decoy-cluster family the BM25-weighted likelihood-ratio calibration

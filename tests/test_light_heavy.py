@@ -123,3 +123,85 @@ class TestLightHeavy:
         scorer = BayesianBM25Scorer(base_rate=0.01)
         scorer.index(_corpus(), show_progress=False)
         assert not _split_engages(scorer, _queries())
+
+
+class TestGroupBSplit:
+    """Group-B (tier-2) cap split: the heavy tier-2 pass is a pure
+    performance transform — ids/tf bit-equal to the unsplit tier-2
+    path, scores within float reassociation tolerance."""
+
+    def _build_b(self, monkeypatch, engage: bool):
+        monkeypatch.setattr(BayesianBM25Scorer, "_SPLIT_BUDGET_BYTES",
+                            2_000_000)
+        monkeypatch.setattr(sidx, "_POSTINGS_MAX_ENTRIES", 20000)
+        monkeypatch.setattr(sidx, "LIGHT_HEAVY", True)
+        # keep the tier-1 split off so only the B split varies
+        monkeypatch.setattr(sidx, "_LH_MIN_SAVE", 10**12)
+        if engage:
+            monkeypatch.setattr(sidx, "_LHB_MIN_SAVE", 0)
+            monkeypatch.setattr(sidx, "_LHB_MIN_RATIO", 1.0)
+        else:
+            monkeypatch.setattr(sidx, "_LHB_MIN_SAVE", 10**12)
+        scorer = BayesianBM25Scorer(base_rate=0.01)
+        scorer.index(_corpus(), show_progress=False)
+        return scorer
+
+    def _b_split_engages(self, scorer, qs, k=10):
+        s = scorer._split
+        enc = sidx.encode_queries_split(qs, s)
+        _, grpB = sidx.split_tail_groups(enc[2], enc[3], enc[4], s)
+        assert grpB is not None, "no tier-2 rows in the test batch"
+        return sidx.split_light_heavy_b(*grpB, s, k) is not None
+
+    def test_matches_unsplit_tier2(self, monkeypatch):
+        base = self._build_b(monkeypatch, engage=False)
+        qs = _queries()
+        ids_1, p_1 = base.retrieve(qs, k=10)
+
+        split = self._build_b(monkeypatch, engage=True)
+        assert self._b_split_engages(split, qs), "B split did not engage"
+        ids_2, p_2 = split.retrieve(qs, k=10)
+        np.testing.assert_array_equal(ids_2, ids_1)
+        np.testing.assert_allclose(p_2, p_1, rtol=2e-5, atol=1e-6)
+
+    def test_partition_properties(self, monkeypatch):
+        split = self._build_b(monkeypatch, engage=True)
+        s = split._split
+        qs = _queries()
+        enc = sidx.encode_queries_split(qs, s)
+        _, grpB = sidx.split_tail_groups(enc[2], enc[3], enc[4], s)
+        lhb = sidx.split_light_heavy_b(*grpB, s, 10)
+        assert lhb is not None
+        (lr, ls1, lc1, ls2, lc2), (hr, hs1, hc1, hs2, hc2) = lhb
+        R2 = s.post2_doc_ids.shape[0] - 1
+        for d in (len(lr), len(hr)):
+            assert d & (d - 1) == 0
+        # light ∪ heavy real rows == original real rows, disjoint
+        # (real B rows carry >= 1 real tier-2 slot)
+        trB, s1B = grpB[0], grpB[1]
+        real_in = set(np.asarray(trB)[
+            (np.asarray(grpB[3]) < R2).any(axis=1)].tolist())
+        real_l = set(lr[(ls2 < R2).any(axis=1)].tolist())
+        real_h = set(hr[(hs2 < R2).any(axis=1)].tolist())
+        assert not (real_l & real_h)
+        assert real_l | real_h == real_in
+        # per-group caps: light strictly narrower
+        assert (sidx.candidate_cap2(s, ls1, ls2, 10)
+                < sidx.candidate_cap2(s, hs1, hs2, 10))
+
+    def test_with_mask_and_explain(self, monkeypatch):
+        base = self._build_b(monkeypatch, engage=False)
+        split = self._build_b(monkeypatch, engage=True)
+        qs = _queries()
+        mask = np.ones(800, bool)
+        mask[::4] = False
+        i1, p1 = base.retrieve(qs, k=6, doc_mask=mask)
+        i2, p2 = split.retrieve(qs, k=6, doc_mask=mask)
+        np.testing.assert_array_equal(i2, i1)
+        np.testing.assert_allclose(p2, p1, rtol=2e-5, atol=1e-6)
+        e1 = base.retrieve(qs[:8], k=5, explain=True)
+        e2 = split.retrieve(qs[:8], k=5, explain=True)
+        for r1, r2 in zip(e1.explanations, e2.explanations):
+            for t1, t2 in zip(r1, r2):
+                if t1 is not None:
+                    assert t1.tf == t2.tf
