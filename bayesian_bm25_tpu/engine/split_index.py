@@ -70,6 +70,19 @@ _LH_MIN_RATIO = 2.0        # min (no-split / split) element ratio
 _LHB_MIN_SAVE = 250_000
 _LHB_MIN_RATIO = 1.3
 
+# Unique-key candidate sort: XLA implements a STABLE sort by appending
+# an iota tiebreak operand, so the shipped stable (id, v) sort moves
+# three arrays through the bitonic network. Packing (id, column) into
+# one uint32 key — id * W + col, W = next pow2 >= C — makes every key
+# unique, and unique keys reproduce the stable order exactly (equal
+# ids order by column = original concat position), so an UNSTABLE
+# 2-operand sort returns bit-identical (sid, sv). Engages only when
+# (D_pad + 1) * W fits uint32 (50k serving: 26 bits; 1M tier-1: ~32;
+# the 1M tier-2 merge at cap2 ~8k overflows and keeps the stable
+# path). Measured v5e 2026-08-20 (profile_merge4.py / _merge5):
+# sort stage 5.9-6.7 ms vs 6.7-8.9 stable at the 50k serving shapes.
+UNIQUE_KEY_SORT = True
+
 
 @dataclass
 class SplitBM25Index:
@@ -1445,10 +1458,27 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
     # payload is sign-derivable (v = qcnt * w > 0 iff a valid posting;
     # leaders and pad slots carry v = 0), and dropping the third sort
     # operand saves ~4 ms per 8192-query batch on v5e.
+    #
+    # Key choice (UNIQUE_KEY_SORT): a stable XLA sort appends an iota
+    # tiebreak operand to the bitonic network, so when id * W + col
+    # fits uint32 the UNSTABLE unique-key sort moves one fewer array
+    # for the identical order (equal ids order by col = concat
+    # position, exactly the stable order over ids).
+    Ctot = cand_ids.shape[1]
+    Wkey = 1 << max(Ctot - 1, 1).bit_length()
+    ukey = UNIQUE_KEY_SORT and (D_pad + 1) * Wkey <= (1 << 32)
+    if ukey:
+        shift = Wkey.bit_length() - 1
+        col = jnp.arange(Ctot, dtype=jnp.uint32)[None, :]
+        sort_key = cand_ids.astype(jnp.uint32) * jnp.uint32(Wkey) + col
+    else:
+        sort_key = cand_ids
     if tf_from_sign:
-        sid, sv = jax.lax.sort(
-            (cand_ids, cand_v), dimension=1, is_stable=True, num_keys=1)
-        sid = sid[:, :cand_cap]
+        skey, sv = jax.lax.sort(
+            (sort_key, cand_v), dimension=1, is_stable=not ukey,
+            num_keys=1)
+        sid = ((skey >> shift).astype(cand_ids.dtype)
+               if ukey else skey)[:, :cand_cap]
         sv = sv[:, :cand_cap]
         stf = (sv > 0).astype(jnp.float32)
     else:
@@ -1458,12 +1488,13 @@ def _sparse_merge(scores, topm_scores, topm_ids, post_ids, post_w,
             parts_tf.append(
                 (pid2 < n_docs).astype(jnp.float32).reshape(nt, -1))
         cand_tf = jnp.concatenate(parts_tf, axis=1)
-        sid, sv, stf = jax.lax.sort(
-            (cand_ids, cand_v, cand_tf), dimension=1, is_stable=True,
+        skey, sv, stf = jax.lax.sort(
+            (sort_key, cand_v, cand_tf), dimension=1, is_stable=not ukey,
             num_keys=1)
         # Valid candidates sort to the front; slice to the host-computed
         # cap (k + max postings in this batch) before the later stages.
-        sid = sid[:, :cand_cap]
+        sid = ((skey >> shift).astype(cand_ids.dtype)
+               if ukey else skey)[:, :cand_cap]
         sv = sv[:, :cand_cap]
         stf = stf[:, :cand_cap]
 
